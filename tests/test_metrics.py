@@ -1,0 +1,57 @@
+"""PSNR/SSIM parity vs skimage — the correctness oracle for all quality numbers."""
+
+import numpy as np
+import pytest
+from tests.skimage_oracle import peak_signal_noise_ratio, structural_similarity
+
+import jax.numpy as jnp
+
+from midd_tpu.train import metrics
+
+
+def _pairs(rng, n=3, h=65, w=64):
+    clean = rng.random((n, h, w), dtype=np.float64).astype(np.float32)
+    noisy = np.clip(clean + rng.normal(0, 0.1, clean.shape).astype(np.float32), 0, 1)
+    return clean, noisy
+
+
+def test_psnr_matches_skimage(rng):
+    clean, noisy = _pairs(rng)
+    ours = np.asarray(metrics.psnr(jnp.asarray(noisy), jnp.asarray(clean)))
+    for i in range(clean.shape[0]):
+        ref = peak_signal_noise_ratio(clean[i], noisy[i], data_range=1.0)
+        assert ours[i] == pytest.approx(ref, abs=1e-3)
+
+
+def test_ssim_matches_skimage(rng):
+    clean, noisy = _pairs(rng)
+    ours = np.asarray(metrics.ssim(jnp.asarray(noisy), jnp.asarray(clean)))
+    for i in range(clean.shape[0]):
+        ref = structural_similarity(clean[i], noisy[i], data_range=1.0)
+        assert ours[i] == pytest.approx(ref, abs=2e-4)
+
+
+def test_compute_metrics_batch_mean(rng):
+    clean, noisy = _pairs(rng, n=4)
+    p, s = metrics.compute_metrics(jnp.asarray(noisy)[..., None], jnp.asarray(clean)[..., None])
+    ref_p = np.mean(
+        [peak_signal_noise_ratio(clean[i], noisy[i], data_range=1.0) for i in range(4)]
+    )
+    ref_s = np.mean(
+        [structural_similarity(clean[i], noisy[i], data_range=1.0) for i in range(4)]
+    )
+    assert float(p) == pytest.approx(ref_p, abs=1e-3)
+    assert float(s) == pytest.approx(ref_s, abs=2e-4)
+
+
+def test_flat_image_fallback():
+    flat = jnp.zeros((1, 32, 32))
+    pred = jnp.full((1, 32, 32), 0.5)
+    p, _ = metrics.compute_metrics(pred, flat, flat_psnr_fallback=True)
+    assert float(p) == pytest.approx(40.0)
+
+
+def test_identical_images_ssim_one(rng):
+    clean, _ = _pairs(rng, n=1)
+    s = metrics.ssim(jnp.asarray(clean), jnp.asarray(clean))
+    assert float(s[0]) == pytest.approx(1.0, abs=1e-6)
