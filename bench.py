@@ -1,0 +1,92 @@
+"""Benchmark of record: denoised images/sec/chip at 256x256, DDIM-50.
+
+Runs the flagship diffusion path — the conditional UNet (12.8M params,
+DDIM/DDIMModel.py:168 topology) rolled out for a full 50-step reverse schedule
+as ONE ``lax.scan`` program — on the real TPU chip, bf16 compute / fp32 norms.
+
+Baseline: the reference reports ~0.7 s for a full hybrid request (8 diffusion
+steps at 512^2 + NAFNet + router/fusion) on a P100 (README.md:22). Normalised
+to this benchmark's config (50 steps at 256^2 == 50/8 * (256/512)^2 = 1.5625x
+the diffusion UNet work of the reference's 8-step 512^2 rollout), the P100
+reference throughput is ~1/0.7/1.5625 = 0.914 images/sec. ``vs_baseline`` is
+ours / 0.914.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from midd_tpu import config
+    from midd_tpu.diffusion import denoise, make_schedule
+    from midd_tpu.models import UNetDiffusion
+
+    size = 256
+    steps = 50
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    dtype = jnp.bfloat16 if dev.platform != "cpu" else None
+    model = UNetDiffusion(config.SERVE_DIFFUSION, dtype=dtype)
+    schedule = make_schedule(config.SERVE_SCHEDULE)
+
+    x0 = jnp.zeros((1, size, size, 1), jnp.float32)
+    t0 = jnp.zeros((1,), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0, x0, t0)
+
+    best = 0.0
+    best_batch = 1
+    for batch in (1, 2, 4, 8):
+        noisy = jnp.asarray(
+            np.clip(
+                np.random.default_rng(0).random((batch, size, size, 1)), 0, 1
+            ).astype(np.float32)
+        )
+
+        @jax.jit
+        def rollout(x):
+            eps = lambda a, c, t: model.apply(variables, a, c, t)
+            return denoise(eps, x, schedule, inference_steps=steps)
+
+        t = time.time()
+        rollout(noisy).block_until_ready()
+        log(f"batch {batch}: compile {time.time() - t:.1f}s")
+
+        # timed
+        n_iter = 3
+        t = time.time()
+        for _ in range(n_iter):
+            out = rollout(noisy)
+        out.block_until_ready()
+        dt = (time.time() - t) / n_iter
+        ips = batch / dt
+        log(f"batch {batch}: {dt * 1000:.1f} ms/rollout -> {ips:.2f} img/s")
+        if ips > best:
+            best, best_batch = ips, batch
+
+    baseline = 0.914  # P100 reference, normalised (see module docstring)
+    result = {
+        "metric": f"denoised images/sec/chip, {size}x{size} DDIM-{steps} (batch {best_batch}, bf16)",
+        "value": round(best, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(best / baseline, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Single-image inference CLI + test-time augmentation.
+
+Covers the reference's manual inference utilities:
+- ``denoise_image_nafnet`` with 4-flip TTA averaging (NafNet/NafnetModel.py:627-710)
+- ``denoise_image_diffusion`` (DDIM/DDIMModel.py:470-504)
+- ``denoise_image`` for the Expert (DirectUNet/DirectUNetModel.py:423-450)
+- ``denoise_image_hybrid`` (hybrid3diffusionspeed.py:880-949)
+- the CLI driver scripts (cddpminference.py, hybrid3diffusionspeedinference.py)
+
+Usage:
+    python -m midd_tpu.inference --model nafnet --image x.png --out out.png \
+        [--ckpt-dir checkpoints] [--tta] [--steps 8] [--img-size 512]
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+
+def tta_4flip(fn: Callable[[jnp.ndarray], jnp.ndarray]) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """4-flip test-time augmentation: average fn over identity/h/v/hv flips,
+    un-flipping each prediction (NafNet/NafnetModel.py:670-692). Stays inside
+    one jitted program."""
+
+    def wrapped(x: jnp.ndarray) -> jnp.ndarray:
+        preds = [
+            fn(x),
+            jnp.flip(fn(jnp.flip(x, axis=2)), axis=2),
+            jnp.flip(fn(jnp.flip(x, axis=1)), axis=1),
+            jnp.flip(fn(jnp.flip(x, axis=(1, 2))), axis=(1, 2)),
+        ]
+        return jnp.mean(jnp.stack(preds), axis=0)
+
+    return wrapped
+
+
+def denoise_image(
+    model: str,
+    image_path: str,
+    ckpt_dir: str = "checkpoints",
+    img_size: int = 512,
+    steps: int = 8,
+    tta: bool = False,
+    bf16: bool = False,
+):
+    """Returns (PIL.Image at original size, inference seconds)."""
+    from midd_tpu.serve.codec import decode_to_tensor
+    from midd_tpu.serve.engine import EngineConfig, InferenceEngine
+
+    cfg = EngineConfig(
+        img_size=img_size,
+        diffusion_steps=steps,
+        hybrid_diffusion_steps=steps,
+        ckpt_dir=ckpt_dir,
+        compute_dtype=jnp.bfloat16 if bf16 else None,
+        warmup=False,
+    )
+    engine = InferenceEngine(cfg)
+    fn = engine.fns[model]
+    if tta:
+        fn = jax.jit(tta_4flip(fn))
+
+    with open(image_path, "rb") as f:
+        x, original_size = decode_to_tensor(f.read(), img_size)
+
+    fn(jnp.asarray(x)).block_until_ready()  # compile
+    t0 = time.time()
+    out = np.asarray(fn(jnp.asarray(x)))
+    dt = time.time() - t0
+
+    arr = (np.clip(out[0, :, :, 0], 0, 1) * 255).astype(np.uint8)
+    img = Image.fromarray(arr, mode="L").resize(original_size, Image.BICUBIC)
+    return img, dt
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", choices=["diffusion", "nafnet", "expert", "hybrid"], required=True)
+    ap.add_argument("--image", required=True)
+    ap.add_argument("--out", default="denoised.png")
+    ap.add_argument("--ckpt-dir", default="checkpoints")
+    ap.add_argument("--img-size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--tta", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args()
+
+    img, dt = denoise_image(
+        args.model,
+        args.image,
+        ckpt_dir=args.ckpt_dir,
+        img_size=args.img_size,
+        steps=args.steps,
+        tta=args.tta,
+        bf16=args.bf16,
+    )
+    img.save(args.out)
+    print(f"{args.model}: {dt:.3f}s -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

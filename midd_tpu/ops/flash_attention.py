@@ -1,0 +1,120 @@
+"""Pallas TPU flash attention for the diffusion UNet's spatial self-attention.
+
+The reference bounds attention memory with a query-chunked softmax loop on the
+host schedule (chunk 512 over the h*w=4096 sequence, DDIM/DDIMModel.py:152-162).
+This kernel is the TPU-native successor: blockwise ONLINE softmax entirely in
+VMEM — O(N) memory instead of the O(N^2) score matrix, with the q@k^T and p@v
+contractions on the MXU.
+
+Shapes: q, k, v are (B, N, H, D) with D=96 for the serving config (2 heads of
+the 192-channel resolution). D is zero-padded to the 128-lane boundary outside
+the kernel (zero features add nothing to scores; padded v columns are sliced
+off afterwards). K/V for one (batch, head) fit comfortably in VMEM at N=4096
+(4096 x 128 fp32 = 2 MB each), so the kernel streams q blocks over resident
+K/V — the right regime for these sizes.
+
+Falls back to the exact XLA path (midd_tpu.ops.attention.mha_reference) for
+shapes the kernel doesn't cover; runs in interpret mode on CPU so tests
+exercise the same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, Dp)
+    n = k_ref.shape[1]
+    block_q, dp = q.shape
+
+    m = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, dp), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, vb, preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m, l, acc))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _pad_lane(x: jnp.ndarray) -> jnp.ndarray:
+    d = x.shape[-1]
+    pad = (-d) % LANE
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
+    """q,k,v: (BH, N, D) -> (BH, N, D)."""
+    bh, n, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    qp, kp, vp = _pad_lane(q), _pad_lane(k), _pad_lane(v)
+    dp = qp.shape[-1]
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        grid=(bh, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, n, dp), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n * n * dp,
+            bytes_accessed=bh * n * dp * 4 * 4,
+            transcendentals=bh * n * n,
+        ),
+    )(qp, kp, vp)
+    return out[:, :, :d]
+
+
+def supported(q: jnp.ndarray, block_q: int = 256, block_k: int = 512) -> bool:
+    _, n, _, d = q.shape
+    return n % block_q == 0 and n % block_k == 0 and n >= block_k
+
+
+def mha_flash(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """(B, N, H, D) attention via the Pallas kernel, with XLA fallback."""
+    if not supported(q, block_q, block_k):
+        from midd_tpu.ops.attention import mha_reference
+
+        return mha_reference(q, k, v)
+    b, n, h, d = q.shape
+    to_bhnd = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    interpret = jax.default_backend() == "cpu"
+    out = _flash_bhnd(
+        to_bhnd(q), to_bhnd(k), to_bhnd(v), block_q, block_k, interpret
+    )
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

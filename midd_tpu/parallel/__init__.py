@@ -1,0 +1,8 @@
+from midd_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_params,
+)
+from midd_tpu.parallel.train_dp import make_sharded_train_step  # noqa: F401

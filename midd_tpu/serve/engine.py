@@ -1,0 +1,259 @@
+"""Serving engine: loads all four model families, compiles each inference
+path ONCE at startup (fixed 512x512 shapes, warmup call), and answers
+requests with per-path exception isolation + per-model latency logs —
+the TPU-native ModelManager (reference: run.py:20-151).
+
+Key differences from the reference, by design:
+- every path is a single jitted XLA program; the diffusion rollout is a
+  ``lax.scan`` (no per-step host sync, run.py:107 vs midd_tpu.diffusion);
+- the hybrid is ONE fused fan-out graph instead of eager
+  NAFNet -> rollout -> router -> fusion dispatches (SURVEY 3.5);
+- models can run in bf16 on TPU (fp32 norms) via ``compute_dtype``.
+
+Checkpoint sources per model, in priority order:
+1. orbax checkpoint dir  <ckpt_dir>/<name>/
+2. reference torch file  <ckpt_dir>/<name>.pth (converted on load)
+3. seeded random init (demo mode) — the reference's .pth files are not
+   distributed with its repo either.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midd_tpu import config
+from midd_tpu.diffusion import denoise, make_schedule
+from midd_tpu.models import (
+    EnhancedNAFNet,
+    ExpertDenoiser,
+    FusionModule,
+    NoiseAnalyzer,
+    UNetDiffusion,
+)
+from midd_tpu.models.hybrid import hybrid_forward
+from midd_tpu.serve.codec import tensor_to_base64_png
+
+MODEL_NAMES = ("diffusion", "nafnet", "expert", "hybrid")
+
+
+@dataclass
+class EngineConfig:
+    img_size: int = config.SERVE_IMG_SIZE
+    diffusion_steps: int = config.SERVE_DIFFUSION_STEPS  # run.py:107
+    hybrid_diffusion_steps: int = 8  # run.py:72-73
+    ckpt_dir: str = "checkpoints"
+    compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 on TPU
+    use_flash_attention: bool = False
+    warmup: bool = True
+    # model architecture overrides (tests / small deployments)
+    nafnet_cfg: Any = config.SERVE_NAFNET
+    diffusion_cfg: Any = config.SERVE_DIFFUSION
+    expert_cfg: Any = config.SERVE_EXPERT
+    router_cfg: Any = field(default_factory=config.RouterConfig)
+    fusion_cfg: Any = field(default_factory=config.FusionConfig)
+    schedule_cfg: Any = config.SERVE_SCHEDULE
+
+
+class InferenceEngine:
+    def __init__(self, cfg: EngineConfig = EngineConfig()):
+        self.cfg = cfg
+        self.loaded: Dict[str, bool] = {n: False for n in MODEL_NAMES}
+        self.fns: Dict[str, Callable] = {}
+        self.meta: Dict[str, Dict] = {}
+        self._build()
+
+    # -- checkpoint plumbing -------------------------------------------------
+
+    def _variables_for(self, name: str, model, *example_args):
+        path = os.path.join(self.cfg.ckpt_dir, name)
+        if os.path.isdir(path):
+            from midd_tpu.utils.checkpoint import load_checkpoint
+
+            tree, meta = load_checkpoint(path)
+            self.meta[name] = meta
+            return tree["variables"] if "variables" in tree else tree
+        pth = path + ".pth"
+        if os.path.exists(pth):
+            from midd_tpu.utils.checkpoint import import_reference_checkpoint
+
+            variables, meta = import_reference_checkpoint(pth, model, *example_args)
+            self.meta[name] = meta
+            return variables
+        # demo mode: seeded random weights
+        self.meta[name] = {"demo_weights": True}
+        return jax.jit(model.init)(jax.random.PRNGKey(hash(name) % 2**31), *example_args)
+
+    # -- graph construction --------------------------------------------------
+
+    def _build(self):
+        cfg = self.cfg
+        s = cfg.img_size
+        dt = cfg.compute_dtype
+        x0 = jnp.zeros((1, s, s, 1), jnp.float32)
+        t0 = jnp.zeros((1,), jnp.int32)
+        schedule = make_schedule(cfg.schedule_cfg)
+
+        # Diffusion path (standalone)
+        unet = UNetDiffusion(cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
+        v_diff = self._variables_for("diffusion", unet, x0, x0, t0)
+        noise_steps = int(self.meta["diffusion"].get("noise_steps", 50))
+        if noise_steps != schedule.noise_steps:
+            schedule = make_schedule(
+                config.ScheduleConfig(noise_steps=noise_steps)
+            )
+
+        def diffusion_fn(x):
+            eps = lambda a, c, t: unet.apply(v_diff, a, c, t)
+            out = denoise(eps, x, schedule, cfg.diffusion_steps)
+            return jnp.clip(out, 0.0, 1.0)
+
+        # NAFNet path
+        naf = EnhancedNAFNet(cfg.nafnet_cfg, dtype=dt)
+        v_naf = self._variables_for("nafnet", naf, x0)
+
+        def nafnet_fn(x):
+            return jnp.clip(naf.apply(v_naf, x), 0.0, 1.0)
+
+        # Expert path
+        expert = ExpertDenoiser(cfg.expert_cfg, dtype=dt)
+        v_exp = self._variables_for("expert", expert, x0)
+
+        def expert_fn(x):
+            return jnp.clip(expert.apply(v_exp, x), 0.0, 1.0)
+
+        # Hybrid path: its OWN backend weights (a separately-trained
+        # checkpoint in the reference, run.py:60-74)
+        router = NoiseAnalyzer(cfg.router_cfg, dtype=dt)
+        fusion = FusionModule(cfg.fusion_cfg, dtype=dt)
+        hyb_unet = UNetDiffusion(cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
+        hyb_naf = EnhancedNAFNet(cfg.nafnet_cfg, dtype=dt)
+        v_h = self._variables_for_hybrid(hyb_naf, hyb_unet, router, fusion, x0, t0)
+
+        def hybrid_fn(x):
+            out = hybrid_forward(
+                lambda a: hyb_naf.apply({"params": v_h["nafnet"]}, a),
+                lambda a: denoise(
+                    lambda b, c, t: hyb_unet.apply({"params": v_h["diffusion_unet"]}, b, c, t),
+                    a,
+                    schedule,
+                    cfg.hybrid_diffusion_steps,
+                ),
+                lambda a: router.apply({"params": v_h["router"]}, a),
+                lambda a, b, m: fusion.apply({"params": v_h["fusion"]}, a, b, m),
+                x,
+            )
+            return jnp.clip(out, 0.0, 1.0)
+
+        self.fns = {
+            "diffusion": jax.jit(diffusion_fn),
+            "nafnet": jax.jit(nafnet_fn),
+            "expert": jax.jit(expert_fn),
+            "hybrid": jax.jit(hybrid_fn),
+        }
+
+        if cfg.warmup:
+            for name, fn in self.fns.items():
+                t = time.time()
+                fn(x0).block_until_ready()
+                print(f"[engine] compiled {name} in {time.time() - t:.1f}s")
+
+        for n in MODEL_NAMES:
+            self.loaded[n] = True
+
+    def _variables_for_hybrid(self, naf, unet, router, fusion, x0, t0):
+        """Hybrid checkpoint layout: one tree with nafnet/diffusion_unet/
+        router/fusion param groups (hybrid3diffusionspeed.py:837-852 stores
+        the full composed state_dict)."""
+        name = "hybrid"
+        path = os.path.join(self.cfg.ckpt_dir, name)
+        if os.path.isdir(path):
+            from midd_tpu.utils.checkpoint import load_checkpoint
+
+            tree, meta = load_checkpoint(path)
+            self.meta[name] = meta
+            return tree["params"] if "params" in tree else tree
+        pth = path + ".pth"
+        if os.path.exists(pth):
+            from midd_tpu.convert.torch_import import convert_state_dict, load_pth
+
+            ckpt = load_pth(pth)
+            sd = ckpt["model_state_dict"]
+            groups = {}
+            for prefix, model, args in [
+                ("nafnet", naf, (x0,)),
+                ("diffusion_unet", unet, (x0, x0, t0)),
+                ("router", router, (x0,)),
+                ("fusion", fusion, (x0, x0, x0)),
+            ]:
+                sub = {
+                    k[len(prefix) + 1 :]: v
+                    for k, v in sd.items()
+                    if k.startswith(prefix + ".")
+                }
+                variables = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+                groups[prefix] = convert_state_dict(sub, variables)["params"]
+            self.meta[name] = {
+                k: v for k, v in ckpt.items() if not k.endswith("state_dict")
+            }
+            return groups
+        self.meta[name] = {"demo_weights": True}
+        key = jax.random.PRNGKey(4)
+        ks = jax.random.split(key, 4)
+        return {
+            "nafnet": jax.jit(naf.init)(ks[0], x0)["params"],
+            "diffusion_unet": jax.jit(unet.init)(ks[1], x0, x0, t0)["params"],
+            "router": jax.jit(router.init)(ks[2], x0)["params"],
+            "fusion": jax.jit(fusion.init)(ks[3], x0, x0, x0)["params"],
+        }
+
+    # -- request processing --------------------------------------------------
+
+    def process_one(self, name: str, x: np.ndarray, original_size) -> Optional[str]:
+        """Run one model path; returns base64 PNG or raises."""
+        t0 = time.time()
+        out = np.asarray(self.fns[name](jnp.asarray(x)))
+        result = tensor_to_base64_png(out, original_size)
+        print(f"  {name}: {time.time() - t0:.2f}s")
+        return result
+
+    def process_all(self, x: np.ndarray, original_size) -> Dict[str, Optional[str]]:
+        """All four paths with per-path exception isolation (run.py:85-101).
+        JAX dispatch is async: enqueue all four programs first, then encode
+        results as each completes — device compute overlaps host PNG encode."""
+        t_start = time.time()
+        outs: Dict[str, Any] = {}
+        xj = jnp.asarray(x)
+        for name in MODEL_NAMES:
+            try:
+                outs[name] = self.fns[name](xj)  # async dispatch
+            except Exception as e:  # noqa: BLE001
+                print(f"  {name} failed: {e}")
+                outs[name] = None
+        results: Dict[str, Optional[str]] = {}
+        for name in MODEL_NAMES:
+            if outs[name] is None:
+                results[name] = None
+                continue
+            try:
+                t0 = time.time()
+                results[name] = tensor_to_base64_png(np.asarray(outs[name]), original_size)
+                print(f"  {name}: {time.time() - t0:.2f}s (encode)")
+            except Exception as e:  # noqa: BLE001
+                print(f"  {name} failed: {e}")
+                results[name] = None
+        print(f"all 4 models processed in {time.time() - t_start:.2f}s")
+        return results
+
+    def health(self) -> Dict:
+        return {
+            "status": "healthy",
+            "device": str(jax.devices()[0]),
+            "models_loaded": dict(self.loaded),
+        }

@@ -1,0 +1,139 @@
+"""Standalone HTTP serving shell (stdlib; no FastAPI dependency).
+
+Byte-compatible contract with the reference FastAPI service (run.py:174-226):
+
+- ``GET /``        -> {"message", "status", "endpoints"}
+- ``GET /health``  -> {"status", "device", "models_loaded": {4 bools}}
+- ``POST /denoise`` multipart/form-data with a ``file`` field ->
+  {"diffusion","nafnet","expert","hybrid"}: base64 PNG or null per failed
+  path; HTTP 500 {"detail": ...} on request-level errors.
+
+A thread pool serves connections; the four model programs per request are
+dispatched asynchronously to the device by the engine. An optional FastAPI
+app factory with the identical contract lives in midd_tpu.serve.app for
+environments that have fastapi installed.
+"""
+
+from __future__ import annotations
+
+import email.parser
+import email.policy
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from midd_tpu.serve.codec import decode_to_tensor
+from midd_tpu.serve.engine import EngineConfig, InferenceEngine
+
+
+def parse_multipart_file(body: bytes, content_type: str) -> Optional[bytes]:
+    """Extract the first file field from a multipart/form-data body."""
+    parser = email.parser.BytesParser(policy=email.policy.HTTP)
+    msg = parser.parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body
+    )
+    if not msg.is_multipart():
+        return None
+    for part in msg.iter_parts():
+        disp = part.get("Content-Disposition", "")
+        if "form-data" in disp:
+            return part.get_payload(decode=True)
+    return None
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: InferenceEngine  # set by make_server
+    img_size: int = 512
+
+    def _json(self, obj, status: int = 200):
+        data = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.send_header("Access-Control-Allow-Origin", "*")  # CORS-allow-all (run.py:166-172)
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):  # noqa: N802
+        if self.path == "/":
+            self._json(
+                {
+                    "message": "X-Ray Denoising API with Hybrid Routing",
+                    "status": "running",
+                    "endpoints": {"denoise": "/denoise", "health": "/health"},
+                }
+            )
+        elif self.path == "/health":
+            self._json(self.engine.health())
+        else:
+            self._json({"detail": "Not Found"}, 404)
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/denoise":
+            self._json({"detail": "Not Found"}, 404)
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if ctype.startswith("multipart/form-data"):
+                file_bytes = parse_multipart_file(body, ctype)
+            else:
+                file_bytes = body  # raw image body also accepted
+            if not file_bytes:
+                raise ValueError("no file field in request")
+            x, original_size = decode_to_tensor(file_bytes, self.img_size)
+            results = self.engine.process_all(x, original_size)
+            self._json(results)
+        except Exception as e:  # noqa: BLE001  (run.py:210-213)
+            import traceback
+
+            traceback.print_exc()
+            self._json({"detail": str(e)}, 500)
+
+    def log_message(self, fmt, *args):  # quieter default logging
+        pass
+
+
+def make_server(
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    engine: Optional[InferenceEngine] = None,
+    engine_config: Optional[EngineConfig] = None,
+) -> ThreadingHTTPServer:
+    engine = engine or InferenceEngine(engine_config or EngineConfig())
+
+    class Handler(_Handler):
+        pass
+
+    Handler.engine = engine
+    Handler.img_size = engine.cfg.img_size
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(host="0.0.0.0", port=8000, engine_config=None):
+    server = make_server(host, port, engine_config=engine_config)
+    print(f"serving on http://{host}:{port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--img-size", type=int, default=512)
+    ap.add_argument("--ckpt-dir", default="checkpoints")
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    cfg = EngineConfig(
+        img_size=args.img_size,
+        ckpt_dir=args.ckpt_dir,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    serve_forever(args.host, args.port, engine_config=cfg)

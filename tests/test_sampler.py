@@ -1,0 +1,107 @@
+"""Sampler tests: scan-vs-python-loop equivalence, stride semantics, and
+full parity against the reference torch DiffusionDenoiser with a converted
+UNet (SURVEY.md section 4(c))."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import torch
+
+from tests.torch_ref import load_reference
+
+from midd_tpu import config
+from midd_tpu.convert.torch_import import convert_state_dict
+from midd_tpu.diffusion import denoise, make_schedule, noise_images, timestep_sequence
+from midd_tpu.models import UNetDiffusion
+
+
+def test_timestep_sequence_matches_reference_stride():
+    # "8 steps" over 50 -> stride 6 -> nine iterations 48..0 (DDIM:272-274)
+    assert timestep_sequence(50, 8) == [48, 42, 36, 30, 24, 18, 12, 6, 0]
+    assert timestep_sequence(50, 25) == list(reversed(range(0, 50, 2)))
+    # inference_steps > noise_steps -> stride clamps to 1
+    assert timestep_sequence(50, 100) == list(reversed(range(50)))
+    assert timestep_sequence(50, 7) == [49, 42, 35, 28, 21, 14, 7, 0]
+
+
+def test_scan_equals_python_loop(rng):
+    """Dummy eps_fn: the scan must reproduce a hand-rolled python loop."""
+    sched = make_schedule(config.ScheduleConfig())
+    noisy = jnp.asarray(np.clip(rng.random((2, 8, 8, 1), dtype=np.float32), 0, 1))
+
+    def eps_fn(x, cond, t):
+        # cheap deterministic function of all inputs incl. t
+        return 0.1 * x - 0.05 * cond + 0.001 * t[:, None, None, None].astype(jnp.float32)
+
+    out_scan = denoise(eps_fn, noisy, sched, inference_steps=8)
+
+    x = noisy
+    for t in timestep_sequence(50, 8):
+        tb = jnp.full((2,), t, jnp.int32)
+        eps = jnp.clip(eps_fn(x, noisy, tb), -5, 5)
+        a, ah = sched.alpha[t], sched.alpha_hat[t]
+        x = (x - ((1 - a) / jnp.sqrt(1 - ah)) * eps) / jnp.sqrt(a)
+        x = jnp.clip(x, 0, 1)
+
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(x), atol=1e-6)
+
+
+def test_deterministic_sampler_parity_vs_torch(rng):
+    """Converted UNet + scan sampler vs the torch python-loop sampler."""
+    ref = load_reference()
+    tm = ref["ddim"].UNetDiffusion().eval()
+    tsampler = ref["ddim"].DiffusionDenoiser(tm, noise_steps=50)
+
+    noisy = np.clip(rng.random((1, 32, 32, 1), dtype=np.float32), 0, 1)
+    jm = UNetDiffusion(config.SERVE_DIFFUSION)
+    x = jnp.asarray(noisy)
+    variables = convert_state_dict(
+        tm.state_dict(), jax.jit(jm.init)(jax.random.PRNGKey(0), x, x, jnp.zeros((1,), jnp.int32))
+    )
+
+    eps_fn = lambda a, c, t: jm.apply(variables, a, c, t)
+    sched = make_schedule(config.ScheduleConfig())
+    denoise_jit = jax.jit(lambda xx: denoise(eps_fn, xx, sched, inference_steps=8))
+    ours = np.asarray(denoise_jit(x))
+
+    with torch.no_grad():
+        theirs = tsampler.denoise(
+            torch.from_numpy(np.transpose(noisy, (0, 3, 1, 2))), inference_steps=8
+        )
+    theirs = np.transpose(theirs.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(ours, theirs, atol=2e-3)
+
+
+def test_noise_images_statistics(rng):
+    sched = make_schedule(config.ScheduleConfig())
+    x = jnp.ones((4, 16, 16, 1)) * 0.5
+    t = jnp.asarray([1, 10, 25, 49])
+    xt, eps = noise_images(x, t, sched, jax.random.PRNGKey(1))
+    assert xt.shape == x.shape and eps.shape == x.shape
+    # reconstruct x0 exactly from (xt, eps)
+    ah = sched.alpha_hat[t][:, None, None, None]
+    x0 = (xt - jnp.sqrt(1 - ah) * eps) / jnp.sqrt(ah)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x), atol=1e-5)
+
+
+def test_stochastic_sampler_runs_and_clamps(rng):
+    sched = make_schedule(config.ScheduleConfig())
+    noisy = jnp.asarray(np.clip(rng.random((1, 8, 8, 1), dtype=np.float32), 0, 1))
+    eps_fn = lambda x, c, t: 0.1 * x
+    out = denoise(
+        eps_fn,
+        noisy,
+        sched,
+        inference_steps=5,
+        stochastic=True,
+        clamp_eps=False,
+        key=jax.random.PRNGKey(0),
+    )
+    assert out.shape == noisy.shape
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+    # requires a key
+    with pytest.raises(ValueError):
+        denoise(eps_fn, noisy, sched, inference_steps=5, stochastic=True)

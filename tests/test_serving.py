@@ -1,0 +1,122 @@
+"""HTTP-contract tests for the serving shell (SURVEY 4(d)): tiny-config
+engine, real server on an ephemeral port, real HTTP requests."""
+
+import base64
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from midd_tpu import config
+from midd_tpu.serve.engine import EngineConfig, InferenceEngine
+from midd_tpu.serve.server import make_server
+
+TINY = dict(
+    img_size=32,
+    diffusion_steps=3,
+    hybrid_diffusion_steps=3,
+    nafnet_cfg=config.NAFNetConfig(
+        width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)
+    ),
+    diffusion_cfg=config.DiffusionUNetConfig(
+        model_channels=8,
+        channel_mult=(1, 2),
+        num_res_blocks=1,
+        attention_resolutions=(1,),
+        time_emb_dim=16,
+    ),
+    expert_cfg=config.ExpertConfig(base_channels=8),
+    router_cfg=config.RouterConfig(base_c=8),
+    fusion_cfg=config.FusionConfig(base_c=16),
+    schedule_cfg=config.ScheduleConfig(noise_steps=10),
+    ckpt_dir="/nonexistent",  # demo weights
+)
+
+
+@pytest.fixture(scope="module")
+def server():
+    engine = InferenceEngine(EngineConfig(**TINY))
+    srv = make_server("127.0.0.1", 0, engine=engine)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get(server, path):
+    import http.client
+
+    conn = http.client.HTTPConnection(server, timeout=120)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    return resp.status, json.loads(resp.read())
+
+
+def _post_multipart(server, path, png_bytes):
+    import http.client
+
+    boundary = "testboundary123"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="file"; filename="x.png"\r\n'
+        f"Content-Type: image/png\r\n\r\n"
+    ).encode() + png_bytes + f"\r\n--{boundary}--\r\n".encode()
+    conn = http.client.HTTPConnection(server, timeout=300)
+    conn.request(
+        "POST",
+        path,
+        body=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    resp = conn.getresponse()
+    return resp.status, json.loads(resp.read())
+
+
+def _test_png(size=(40, 30)):
+    rng = np.random.default_rng(0)
+    arr = (rng.random((size[1], size[0])) * 255).astype(np.uint8)
+    img = Image.fromarray(arr, mode="L")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_root_contract(server):
+    status, body = _get(server, "/")
+    assert status == 200
+    assert body["status"] == "running"
+    assert body["endpoints"] == {"denoise": "/denoise", "health": "/health"}
+
+
+def test_health_contract(server):
+    status, body = _get(server, "/health")
+    assert status == 200
+    assert body["status"] == "healthy"
+    assert set(body["models_loaded"]) == {"diffusion", "nafnet", "expert", "hybrid"}
+    assert all(body["models_loaded"].values())
+
+
+def test_denoise_contract(server):
+    status, body = _post_multipart(server, "/denoise", _test_png())
+    assert status == 200
+    assert set(body) == {"diffusion", "nafnet", "expert", "hybrid"}
+    for name, b64 in body.items():
+        assert b64 is not None, f"{name} returned null"
+        img = Image.open(io.BytesIO(base64.b64decode(b64)))
+        assert img.size == (40, 30)  # resized back to original (run.py:143-149)
+        assert img.mode == "L"
+
+
+def test_denoise_bad_request(server):
+    status, body = _post_multipart(server, "/denoise", b"not a png")
+    assert status == 500
+    assert "detail" in body
+
+
+def test_unknown_route(server):
+    status, _ = _get(server, "/nope")
+    assert status == 404

@@ -1,0 +1,108 @@
+"""Trainer engine tests: a tiny NAFNet actually learns on synthetic data,
+checkpoints round-trip, resume restores state, NaN batches are skipped."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from midd_tpu import config
+from midd_tpu.models import EnhancedNAFNet
+from midd_tpu.train import data
+from midd_tpu.train.trainer import (
+    TrainConfig,
+    Trainer,
+    finite_update,
+    lr_schedule_per_epoch,
+    make_optimizer,
+    nafnet_loss_fn,
+    plot_training_curves,
+)
+
+TINY = config.NAFNetConfig(
+    width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)
+)
+
+
+def _dataset(rng, n=8, size=16):
+    # structured "images": smooth gradients, so denoising is learnable
+    xs = np.linspace(0, 1, size, dtype=np.float32)
+    base = xs[None, :, None] * xs[None, None, :]
+    clean = np.stack([np.clip(base[0] * (0.5 + 0.5 * i / n), 0, 1) for i in range(n)])
+    return data.SyntheticPairedDataset(
+        clean[..., None], noise_type="gaussian", is_train=False
+    )
+
+
+def test_lr_schedule_warmup_cosine():
+    cfg = TrainConfig(epochs=10, lr=1e-3, warmup_epochs=2, eta_min_factor=0.01)
+    s = lr_schedule_per_epoch(cfg)
+    assert s(0) == pytest.approx(5e-4)
+    assert s(1) == pytest.approx(1e-3)
+    assert s(2) == pytest.approx(1e-3)  # cosine start
+    assert s(9) < s(2)
+    assert s(9) >= 1e-5
+
+
+def test_finite_update_skips_nan():
+    params = {"w": jnp.ones(3)}
+    tx = make_optimizer(TrainConfig(lr=0.1))
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones(3)}
+    p2, _ = finite_update(jnp.asarray(jnp.nan), grads, params, opt_state, tx)
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(params["w"]))
+    p3, _ = finite_update(jnp.asarray(1.0), grads, params, opt_state, tx)
+    assert not np.allclose(np.asarray(p3["w"]), np.asarray(params["w"]))
+
+
+def test_nafnet_training_reduces_loss(rng, tmp_path):
+    ds = _dataset(rng)
+    model = EnhancedNAFNet(TINY)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)))[
+        "params"
+    ]
+    cfg = TrainConfig(
+        epochs=3,
+        batch_size=4,
+        lr=2e-3,
+        ckpt_dir=str(tmp_path),
+        ckpt_name="naf_test",
+    )
+    trainer = Trainer(
+        loss_fn=nafnet_loss_fn(model),
+        eval_fn=lambda p, extra, clean, noisy: model.apply({"params": p}, noisy),
+        cfg=cfg,
+        init_params=params,
+    )
+    val = [ds[0]]
+    state = trainer.fit(ds, val, metadata={"width": 8}, verbose=False)
+    assert len(state.history["losses"]) == 3
+    assert state.history["losses"][-1] < state.history["losses"][0]
+    assert state.best_psnr > 0
+
+    # curves PNG
+    plot_training_curves(state.history, str(tmp_path / "curves.png"))
+    assert (tmp_path / "curves.png").exists()
+
+    # resume restores epoch/best/history
+    trainer2 = Trainer(
+        loss_fn=nafnet_loss_fn(model),
+        eval_fn=lambda p, extra, clean, noisy: model.apply({"params": p}, noisy),
+        cfg=cfg,
+        init_params=params,
+    )
+    trainer2.resume(str(tmp_path / "naf_test"))
+    assert trainer2.state.best_psnr == pytest.approx(state.best_psnr)
+    assert trainer2.state.epoch >= 1
+    assert trainer2.state.history["losses"]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from midd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    tree = {"params": {"a": jnp.arange(4.0)}, "opt_state": {"m": jnp.zeros(2)}}
+    save_checkpoint(str(tmp_path / "ck"), tree, {"best_psnr": 33.3, "epoch": 5})
+    tree2, meta = load_checkpoint(str(tmp_path / "ck"))
+    np.testing.assert_allclose(np.asarray(tree2["params"]["a"]), np.arange(4.0))
+    assert meta["best_psnr"] == 33.3 and meta["epoch"] == 5
