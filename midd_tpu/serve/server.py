@@ -55,8 +55,20 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def _html(self, html: str, status: int = 200):
+        data = html.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     def do_GET(self):  # noqa: N802
-        if self.path == "/":
+        if self.path == "/ui":
+            from midd_tpu.serve.static_ui import UI_HTML
+
+            self._html(UI_HTML)
+        elif self.path == "/":
             self._json(
                 {
                     "message": "X-Ray Denoising API with Hybrid Routing",

@@ -120,3 +120,14 @@ def test_denoise_bad_request(server):
 def test_unknown_route(server):
     status, _ = _get(server, "/nope")
     assert status == 404
+
+
+def test_ui_page(server):
+    import http.client
+
+    conn = http.client.HTTPConnection(server, timeout=60)
+    conn.request("GET", "/ui")
+    resp = conn.getresponse()
+    html = resp.read().decode()
+    assert resp.status == 200
+    assert "X-Ray Denoising" in html and "/denoise" in html
