@@ -41,7 +41,8 @@ def main():
     log(f"device: {dev}")
 
     dtype = jnp.bfloat16 if dev.platform != "cpu" else None
-    model = UNetDiffusion(config.SERVE_DIFFUSION, dtype=dtype)
+    use_flash = dev.platform != "cpu"
+    model = UNetDiffusion(config.SERVE_DIFFUSION, dtype=dtype, use_flash=use_flash)
     schedule = make_schedule(config.SERVE_SCHEDULE)
 
     x0 = jnp.zeros((1, size, size, 1), jnp.float32)
@@ -50,28 +51,33 @@ def main():
 
     best = 0.0
     best_batch = 1
+    rng = np.random.default_rng(0)
     for batch in (1, 2, 4, 8):
-        noisy = jnp.asarray(
-            np.clip(
-                np.random.default_rng(0).random((batch, size, size, 1)), 0, 1
-            ).astype(np.float32)
-        )
+        # distinct inputs per timed call: the runtime may memoise repeated
+        # executions with identical argument buffers
+        n_iter = 3
+        inputs = [
+            jnp.asarray(
+                np.clip(rng.random((batch, size, size, 1)), 0, 1).astype(np.float32)
+            )
+            for _ in range(n_iter + 1)
+        ]
 
         @jax.jit
         def rollout(x):
             eps = lambda a, c, t: model.apply(variables, a, c, t)
             return denoise(eps, x, schedule, inference_steps=steps)
 
+        # NOTE: block_until_ready() does not actually wait on this runtime's
+        # remote platform — force a scalar materialisation instead.
         t = time.time()
-        rollout(noisy).block_until_ready()
+        float(jnp.sum(rollout(inputs[-1])))
         log(f"batch {batch}: compile {time.time() - t:.1f}s")
 
-        # timed
-        n_iter = 3
         t = time.time()
-        for _ in range(n_iter):
-            out = rollout(noisy)
-        out.block_until_ready()
+        outs = [rollout(x) for x in inputs[:n_iter]]
+        checksum = sum(float(jnp.sum(o)) for o in outs)
+        assert checksum == checksum
         dt = (time.time() - t) / n_iter
         ips = batch / dt
         log(f"batch {batch}: {dt * 1000:.1f} ms/rollout -> {ips:.2f} img/s")

@@ -50,7 +50,7 @@ class EngineConfig:
     hybrid_diffusion_steps: int = 8  # run.py:72-73
     ckpt_dir: str = "checkpoints"
     compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 on TPU
-    use_flash_attention: bool = False
+    use_flash_attention: Optional[bool] = None  # None = auto (TPU yes, CPU no)
     warmup: bool = True
     # model architecture overrides (tests / small deployments)
     nafnet_cfg: Any = config.SERVE_NAFNET
@@ -59,10 +59,24 @@ class EngineConfig:
     router_cfg: Any = field(default_factory=config.RouterConfig)
     fusion_cfg: Any = field(default_factory=config.FusionConfig)
     schedule_cfg: Any = config.SERVE_SCHEDULE
+    # dynamic micro-batching of concurrent requests (one compiled program per
+    # bucket per model; see midd_tpu.serve.batching)
+    batching: bool = False
+    batch_buckets: Any = (1, 2, 4)
+    batch_max_wait_ms: float = 4.0
+    # batch-sharded inference over a dp mesh (multi-chip serving; SURVEY
+    # section 7 step 10). Buckets must be multiples of the dp size.
+    data_parallel: bool = False
 
 
 class InferenceEngine:
     def __init__(self, cfg: EngineConfig = EngineConfig()):
+        if cfg.use_flash_attention is None:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, use_flash_attention=jax.default_backend() != "cpu"
+            )
         self.cfg = cfg
         self.loaded: Dict[str, bool] = {n: False for n in MODEL_NAMES}
         self.fns: Dict[str, Callable] = {}
@@ -151,18 +165,43 @@ class InferenceEngine:
             )
             return jnp.clip(out, 0.0, 1.0)
 
-        self.fns = {
-            "diffusion": jax.jit(diffusion_fn),
-            "nafnet": jax.jit(nafnet_fn),
-            "expert": jax.jit(expert_fn),
-            "hybrid": jax.jit(hybrid_fn),
+        raw_fns = {
+            "diffusion": diffusion_fn,
+            "nafnet": nafnet_fn,
+            "expert": expert_fn,
+            "hybrid": hybrid_fn,
         }
+        if cfg.data_parallel and len(jax.devices()) > 1:
+            from midd_tpu.parallel import batch_sharding, make_mesh
+
+            self.mesh = make_mesh(tp=1)
+            bs = batch_sharding(self.mesh)
+            self.fns = {
+                n: jax.jit(f, in_shardings=bs, out_shardings=bs)
+                for n, f in raw_fns.items()
+            }
+        else:
+            self.mesh = None
+            self.fns = {n: jax.jit(f) for n, f in raw_fns.items()}
 
         if cfg.warmup:
+            wb = self.mesh.shape["dp"] if self.mesh is not None else 1
+            xw = jnp.zeros((wb, s, s, 1), jnp.float32)
             for name, fn in self.fns.items():
                 t = time.time()
-                fn(x0).block_until_ready()
+                np.asarray(fn(xw))  # forced materialisation (see bench.py note)
                 print(f"[engine] compiled {name} in {time.time() - t:.1f}s")
+
+        self.batcher = None
+        if cfg.batching:
+            from midd_tpu.serve.batching import MicroBatcher
+
+            self.batcher = MicroBatcher(
+                self.fns,
+                buckets=tuple(cfg.batch_buckets),
+                max_wait_ms=cfg.batch_max_wait_ms,
+                warmup_shape=(s, s, 1) if cfg.warmup else None,
+            )
 
         for n in MODEL_NAMES:
             self.loaded[n] = True
@@ -228,6 +267,16 @@ class InferenceEngine:
         JAX dispatch is async: enqueue all four programs first, then encode
         results as each completes — device compute overlaps host PNG encode."""
         t_start = time.time()
+        if self.batcher is not None:
+            outs_b = self.batcher.process(np.asarray(x))
+            results = {}
+            for name in MODEL_NAMES:
+                o = outs_b.get(name)
+                results[name] = (
+                    None if o is None else tensor_to_base64_png(o, original_size)
+                )
+            print(f"all 4 models processed in {time.time() - t_start:.2f}s (batched)")
+            return results
         outs: Dict[str, Any] = {}
         xj = jnp.asarray(x)
         for name in MODEL_NAMES:

@@ -110,9 +110,23 @@ def match_pairs(
     return pairs
 
 
-def load_image(path: str, img_size: int) -> np.ndarray:
-    """Grayscale load + PIL BICUBIC resize + [0,1] fp32 HWC(1)."""
+def load_image(path: str, img_size: int, use_native: Optional[bool] = None) -> np.ndarray:
+    """Grayscale load + BICUBIC resize + [0,1] fp32 HWC(1).
+
+    ``use_native=True`` (or env MIDD_TPU_NATIVE=1) routes the resize through
+    the GIL-free C++ kernel (native/midd_native.cc; within 2 LSB of PIL).
+    Default is the PIL path for bit-exact parity with the reference."""
     img = Image.open(path).convert("L")
+    if use_native is None:
+        use_native = os.environ.get("MIDD_TPU_NATIVE", "0") == "1"
+    if use_native:
+        from midd_tpu import native
+
+        if native.available():
+            arr = native.resize_bicubic_u8(
+                np.asarray(img, np.uint8), (img_size, img_size)
+            )
+            return (arr.astype(np.float32) / 255.0)[..., None]
     img = img.resize((img_size, img_size), Image.BICUBIC)
     return (np.asarray(img, np.float32) / 255.0)[..., None]
 

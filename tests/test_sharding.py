@@ -108,3 +108,34 @@ def test_dp_step_matches_single_device():
         jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(new_params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_sharded_engine_matches_single_device():
+    """Engine with data_parallel=True over the CPU mesh must produce the same
+    outputs as the unsharded engine."""
+    from midd_tpu import config as c
+    from midd_tpu.serve.engine import EngineConfig, InferenceEngine
+
+    kw = dict(
+        img_size=16,
+        diffusion_steps=2,
+        hybrid_diffusion_steps=2,
+        nafnet_cfg=c.NAFNetConfig(width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)),
+        diffusion_cfg=c.DiffusionUNetConfig(model_channels=8, channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(1,), time_emb_dim=16),
+        expert_cfg=c.ExpertConfig(base_channels=8),
+        router_cfg=c.RouterConfig(base_c=8),
+        fusion_cfg=c.FusionConfig(base_c=16),
+        schedule_cfg=c.ScheduleConfig(noise_steps=6),
+        ckpt_dir="/nonexistent",
+        warmup=False,
+    )
+    plain = InferenceEngine(EngineConfig(**kw))
+    dp = InferenceEngine(EngineConfig(data_parallel=True, **kw))
+    assert dp.mesh is not None and dp.mesh.shape["dp"] == 8
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((8, 16, 16, 1), dtype=np.float32))
+    for name in ("nafnet", "hybrid"):
+        a = np.asarray(plain.fns[name](x))
+        b = np.asarray(dp.fns[name](x))
+        np.testing.assert_allclose(a, b, atol=1e-5)
