@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 
 def main():
+    # conversion is pure host work; never occupy (or depend on) an accelerator
+    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", required=True,
                     choices=["diffusion", "nafnet", "expert", "hybrid", "tiny"])

@@ -104,6 +104,37 @@ class InferenceEngine:
         self.meta[name] = {"demo_weights": True}
         return jax.jit(model.init)(jax.random.PRNGKey(hash(name) % 2**31), *example_args)
 
+    def _peek_meta(self, name: str) -> Dict:
+        """Read checkpoint metadata (without loading arrays) so arch
+        hyperparams stored in checkpoints override the static config —
+        run.py does the same for NAFNet width/blocks and the hybrid's
+        nafnet_params/diffusion_params (run.py:45-47,61-62)."""
+        import json
+
+        path = os.path.join(self.cfg.ckpt_dir, name)
+        meta_json = os.path.join(path, "metadata.json")
+        if os.path.isfile(meta_json):
+            with open(meta_json) as f:
+                return json.load(f)
+        pth = path + ".pth"
+        if os.path.exists(pth):
+            from midd_tpu.convert.torch_import import load_pth
+
+            ckpt = load_pth(pth)
+            return {k: v for k, v in ckpt.items() if not k.endswith("state_dict")}
+        return {}
+
+    @staticmethod
+    def _nafnet_cfg_from_meta(meta: Dict, default):
+        if "width" not in meta:
+            return default
+        return config.NAFNetConfig(
+            width=int(meta.get("width", 32)),
+            middle_blk_num=int(meta.get("middle_blk_num", 8)),
+            enc_blk_nums=tuple(meta.get("enc_blk_nums", (2, 2, 4, 6))),
+            dec_blk_nums=tuple(meta.get("dec_blk_nums", (2, 2, 2, 2))),
+        )
+
     # -- graph construction --------------------------------------------------
 
     def _build(self):
@@ -128,8 +159,9 @@ class InferenceEngine:
             out = denoise(eps, x, schedule, cfg.diffusion_steps)
             return jnp.clip(out, 0.0, 1.0)
 
-        # NAFNet path
-        naf = EnhancedNAFNet(cfg.nafnet_cfg, dtype=dt)
+        # NAFNet path (arch from checkpoint metadata when present, run.py:45-47)
+        naf_cfg = self._nafnet_cfg_from_meta(self._peek_meta("nafnet"), cfg.nafnet_cfg)
+        naf = EnhancedNAFNet(naf_cfg, dtype=dt)
         v_naf = self._variables_for("nafnet", naf, x0)
 
         def nafnet_fn(x):
@@ -142,12 +174,16 @@ class InferenceEngine:
         def expert_fn(x):
             return jnp.clip(expert.apply(v_exp, x), 0.0, 1.0)
 
-        # Hybrid path: its OWN backend weights (a separately-trained
-        # checkpoint in the reference, run.py:60-74)
+        # Hybrid path: its OWN backend weights + arch configs from the
+        # checkpoint (run.py:60-74)
+        hmeta = self._peek_meta("hybrid")
+        hyb_naf_cfg = self._nafnet_cfg_from_meta(
+            hmeta.get("nafnet_params", {}), cfg.nafnet_cfg
+        )
         router = NoiseAnalyzer(cfg.router_cfg, dtype=dt)
         fusion = FusionModule(cfg.fusion_cfg, dtype=dt)
         hyb_unet = UNetDiffusion(cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
-        hyb_naf = EnhancedNAFNet(cfg.nafnet_cfg, dtype=dt)
+        hyb_naf = EnhancedNAFNet(hyb_naf_cfg, dtype=dt)
         v_h = self._variables_for_hybrid(hyb_naf, hyb_unet, router, fusion, x0, t0)
 
         def hybrid_fn(x):

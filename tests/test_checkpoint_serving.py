@@ -1,0 +1,130 @@
+"""Full checkpoint round trip: a reference-style torch ``.pth`` is dropped in
+the engine's checkpoint dir, the engine rebuilds the arch FROM the checkpoint
+(run.py:45-47 semantics), and the served output matches the torch model."""
+
+import numpy as np
+import pytest
+
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.torch_ref import load_reference
+
+from midd_tpu import config
+from midd_tpu.serve.engine import EngineConfig, InferenceEngine
+
+TINY_KW = dict(width=8, middle_blk_num=1, enc_blk_nums=[1, 1], dec_blk_nums=[1, 1])
+
+
+@pytest.fixture(scope="module")
+def pth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpts")
+    ref = load_reference()
+    torch.manual_seed(11)
+    m = ref["nafnet"].EnhancedNAFNet(**TINY_KW).eval()
+    torch.save(
+        {
+            "model_state_dict": m.state_dict(),
+            "best_psnr": 30.0,
+            "best_ssim": 0.9,
+            **TINY_KW,
+        },
+        d / "nafnet.pth",
+    )
+    return str(d), m
+
+
+def test_engine_serves_converted_pth(pth_dir, rng):
+    ckpt_dir, torch_model = pth_dir
+    engine = InferenceEngine(
+        EngineConfig(
+            img_size=32,
+            diffusion_steps=2,
+            hybrid_diffusion_steps=2,
+            # deliberately WRONG static nafnet cfg: the checkpoint must win
+            nafnet_cfg=config.NAFNetConfig(
+                width=16, middle_blk_num=2, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)
+            ),
+            diffusion_cfg=config.DiffusionUNetConfig(
+                model_channels=8,
+                channel_mult=(1, 2),
+                num_res_blocks=1,
+                attention_resolutions=(1,),
+                time_emb_dim=16,
+            ),
+            expert_cfg=config.ExpertConfig(base_channels=8),
+            router_cfg=config.RouterConfig(base_c=8),
+            fusion_cfg=config.FusionConfig(base_c=16),
+            schedule_cfg=config.ScheduleConfig(noise_steps=6),
+            ckpt_dir=ckpt_dir,
+            warmup=False,
+        )
+    )
+    assert engine.meta["nafnet"].get("best_psnr") == 30.0
+
+    x = np.clip(rng.random((1, 32, 32, 1), dtype=np.float32), 0, 1)
+    ours = np.asarray(engine.fns["nafnet"](jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = torch_model(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    theirs = np.clip(np.transpose(theirs.numpy(), (0, 2, 3, 1)), 0, 1)
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_engine_serves_orbax_dir(pth_dir, rng, tmp_path):
+    """Converted orbax checkpoint dirs load identically."""
+    ckpt_dir, torch_model = pth_dir
+    import subprocess, sys, os
+
+    out_dir = tmp_path / "ck"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", OMP_NUM_THREADS="1")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "midd_tpu.convert",
+            "--model",
+            "nafnet",
+            "--pth",
+            os.path.join(ckpt_dir, "nafnet.pth"),
+            "--out",
+            str(out_dir / "nafnet"),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=280,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    engine = InferenceEngine(
+        EngineConfig(
+            img_size=32,
+            diffusion_steps=2,
+            hybrid_diffusion_steps=2,
+            nafnet_cfg=config.NAFNetConfig(
+                width=16, middle_blk_num=2, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)
+            ),
+            diffusion_cfg=config.DiffusionUNetConfig(
+                model_channels=8,
+                channel_mult=(1, 2),
+                num_res_blocks=1,
+                attention_resolutions=(1,),
+                time_emb_dim=16,
+            ),
+            expert_cfg=config.ExpertConfig(base_channels=8),
+            router_cfg=config.RouterConfig(base_c=8),
+            fusion_cfg=config.FusionConfig(base_c=16),
+            schedule_cfg=config.ScheduleConfig(noise_steps=6),
+            ckpt_dir=str(out_dir),
+            warmup=False,
+        )
+    )
+    x = np.clip(rng.random((1, 32, 32, 1), dtype=np.float32), 0, 1)
+    ours = np.asarray(engine.fns["nafnet"](jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = torch_model(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    theirs = np.clip(np.transpose(theirs.numpy(), (0, 2, 3, 1)), 0, 1)
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
