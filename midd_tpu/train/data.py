@@ -269,13 +269,30 @@ def batches(
     shuffle: bool = True,
     drop_last: bool = True,
     seed: int = 0,
+    num_workers: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """One epoch of (clean, noisy) NHWC batches."""
+    """One epoch of (clean, noisy) NHWC batches. ``num_workers > 0`` assembles
+    items on a thread pool (PIL decode and the native C++ augmentation release
+    the GIL — the DataLoader-workers equivalent, hybrid3diffusionspeed.py:728-737)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     n = len(order)
     end = n - n % batch_size if drop_last else n
+
+    if num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            for start in range(0, end, batch_size):
+                idxs = order[start : start + batch_size]
+                items = list(pool.map(lambda i: dataset[int(i)], idxs))
+                yield (
+                    np.stack([c for c, _ in items]),
+                    np.stack([x for _, x in items]),
+                )
+        return
+
     for start in range(0, end, batch_size):
         idxs = order[start : start + batch_size]
         items = [dataset[int(i)] for i in idxs]

@@ -55,6 +55,9 @@ class TrainConfig:
     ckpt_name: str = "best"
     seed: int = 42
     log_every: int = 10
+    # rematerialise the forward in the backward pass (trade FLOPs for HBM;
+    # enables larger batches/resolutions on one chip)
+    remat: bool = False
 
 
 def lr_schedule_per_epoch(cfg: TrainConfig) -> Callable[[int], float]:
@@ -224,6 +227,8 @@ class Trainer:
         has_batch_stats: bool = False,
     ):
         self.cfg = cfg
+        if cfg.remat:
+            loss_fn = jax.checkpoint(loss_fn)
         self.tx = make_optimizer(cfg)
         self.state = TrainerState(
             params=init_params,

@@ -98,3 +98,13 @@ def test_augment_pair_consistency(rng):
     c, n = data.augment_pair(img.copy(), img.copy(), cfg, rng)
     np.testing.assert_allclose(c, n)
     np.testing.assert_allclose(c, img[:, ::-1])
+
+
+def test_batches_with_workers(rng):
+    clean = rng.random((8, 8, 8, 1)).astype(np.float32)
+    ds = data.SyntheticPairedDataset(clean, is_train=False)
+    serial = list(data.batches(ds, 4, shuffle=False, num_workers=0))
+    threaded = list(data.batches(ds, 4, shuffle=False, num_workers=4))
+    assert len(serial) == len(threaded) == 2
+    for (c1, n1), (c2, n2) in zip(serial, threaded):
+        assert c1.shape == c2.shape and n1.shape == n2.shape

@@ -131,3 +131,20 @@ def test_ui_page(server):
     html = resp.read().decode()
     assert resp.status == 200
     assert "X-Ray Denoising" in html and "/denoise" in html
+
+
+def test_concurrent_requests_consistent(server):
+    """8 threads hitting /denoise concurrently: pure jitted fns are
+    thread-safe; responses must be complete and deterministic per input."""
+    import concurrent.futures
+
+    png = _test_png(size=(32, 32))
+
+    def hit(_):
+        status, body = _post_multipart(server, "/denoise", png)
+        return status, body["nafnet"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(hit, range(8)))
+    assert all(s == 200 for s, _ in results)
+    assert len({r for _, r in results}) == 1  # identical input -> identical output

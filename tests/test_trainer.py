@@ -106,3 +106,19 @@ def test_checkpoint_roundtrip(tmp_path):
     tree2, meta = load_checkpoint(str(tmp_path / "ck"))
     np.testing.assert_allclose(np.asarray(tree2["params"]["a"]), np.arange(4.0))
     assert meta["best_psnr"] == 33.3 and meta["epoch"] == 5
+
+
+def test_remat_grads_match(rng):
+    """jax.checkpoint remat must not change the computed update."""
+    model = EnhancedNAFNet(TINY)
+    x = jnp.zeros((1, 16, 16, 1))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+    loss_fn = nafnet_loss_fn(model)
+
+    clean = jnp.asarray(np.random.default_rng(0).random((2, 16, 16, 1), dtype=np.float32))
+    batch = (clean, jnp.clip(clean + 0.1, 0, 1))
+
+    g_plain = jax.grad(lambda p: loss_fn(p, batch, None)[0])(params)
+    g_remat = jax.grad(lambda p: jax.checkpoint(loss_fn)(p, batch, None)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain), jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
