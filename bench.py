@@ -41,7 +41,7 @@ def main():
     log(f"device: {dev}")
 
     dtype = jnp.bfloat16 if dev.platform != "cpu" else None
-    use_flash = dev.platform != "cpu"
+    use_flash = dev.platform in ("tpu", "axon")  # Pallas kernel is TPU-only
     model = UNetDiffusion(config.SERVE_DIFFUSION, dtype=dtype, use_flash=use_flash)
     schedule = make_schedule(config.SERVE_SCHEDULE)
 

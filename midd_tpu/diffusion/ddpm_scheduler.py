@@ -132,6 +132,8 @@ class TinyUNetDenoiser:
         resized = img.resize((self.img_size, self.img_size), Image.BICUBIC)
         x = (np.asarray(resized, np.float32) / 255.0)[None, ..., None]
         x = x * 2.0 - 1.0  # Normalize([0.5],[0.5])
-        out = np.asarray(self._run(jnp.asarray(x), key or jax.random.PRNGKey(0)))
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        out = np.asarray(self._run(jnp.asarray(x), key))
         arr = np.clip((out[0, :, :, 0] + 1.0) / 2.0 * 255.0, 0, 255).astype(np.uint8)
         return Image.fromarray(arr, mode="L")

@@ -73,6 +73,17 @@ class MicroBatcher:
                 return b
         return self.buckets[-1]
 
+    def _drain(self):
+        """Fail any queued requests immediately instead of stranding their
+        futures when the batcher stops."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("batcher stopped"))
+
     def _loop(self):
         max_b = self.buckets[-1]
         while not self._stop:
@@ -129,3 +140,4 @@ class MicroBatcher:
             self._stats["requests"] += n
             self._stats["batches"] += 1
             self._stats["max_batch"] = max(self._stats["max_batch"], n)
+        self._drain()

@@ -74,16 +74,49 @@ class InferenceEngine:
         if cfg.use_flash_attention is None:
             import dataclasses
 
+            # Pallas TPU kernel: only on TPU-class backends (the axon platform
+            # is the tunnelled TPU); never on CPU/GPU.
             cfg = dataclasses.replace(
-                cfg, use_flash_attention=jax.default_backend() != "cpu"
+                cfg,
+                use_flash_attention=jax.default_backend() in ("tpu", "axon"),
             )
         self.cfg = cfg
+        self._pth_cache: Dict[str, Dict] = {}
         self.loaded: Dict[str, bool] = {n: False for n in MODEL_NAMES}
         self.fns: Dict[str, Callable] = {}
         self.meta: Dict[str, Dict] = {}
         self._build()
 
     # -- checkpoint plumbing -------------------------------------------------
+
+    def _load_pth(self, path: str) -> Dict:
+        if path not in self._pth_cache:
+            from midd_tpu.convert.torch_import import load_pth
+
+            self._pth_cache[path] = load_pth(path)
+        return self._pth_cache[path]
+
+    @staticmethod
+    def _demo_key(name: str):
+        # stable across processes (Python's str hash is salted per process)
+        import zlib
+
+        return jax.random.PRNGKey(zlib.crc32(name.encode()) % (2**31))
+
+    @staticmethod
+    def _normalize_tree(tree):
+        """Accept converter output ({'params', ['batch_stats']}), Trainer
+        checkpoints ({'params', 'opt_state', 'extra': {'batch_stats'}}), or a
+        raw variables dict."""
+        if "variables" in tree:
+            return tree["variables"]
+        if "params" in tree:
+            variables = {"params": tree["params"]}
+            bs = tree.get("batch_stats") or tree.get("extra", {}).get("batch_stats")
+            if bs:
+                variables["batch_stats"] = bs
+            return variables
+        return tree
 
     def _variables_for(self, name: str, model, *example_args):
         path = os.path.join(self.cfg.ckpt_dir, name)
@@ -92,23 +125,30 @@ class InferenceEngine:
 
             tree, meta = load_checkpoint(path)
             self.meta[name] = meta
-            return tree["variables"] if "variables" in tree else tree
+            return self._normalize_tree(tree)
         pth = path + ".pth"
         if os.path.exists(pth):
-            from midd_tpu.utils.checkpoint import import_reference_checkpoint
+            from midd_tpu.convert.torch_import import convert_state_dict
 
-            variables, meta = import_reference_checkpoint(pth, model, *example_args)
-            self.meta[name] = meta
-            return variables
+            ckpt = self._load_pth(pth)
+            variables = jax.jit(model.init)(jax.random.PRNGKey(0), *example_args)
+            converted = convert_state_dict(
+                ckpt.get("model_state_dict", ckpt), variables
+            )
+            self.meta[name] = {
+                k: v for k, v in ckpt.items() if not k.endswith("state_dict")
+            }
+            return converted
         # demo mode: seeded random weights
         self.meta[name] = {"demo_weights": True}
-        return jax.jit(model.init)(jax.random.PRNGKey(hash(name) % 2**31), *example_args)
+        return jax.jit(model.init)(self._demo_key(name), *example_args)
 
     def _peek_meta(self, name: str) -> Dict:
-        """Read checkpoint metadata (without loading arrays) so arch
-        hyperparams stored in checkpoints override the static config —
-        run.py does the same for NAFNet width/blocks and the hybrid's
-        nafnet_params/diffusion_params (run.py:45-47,61-62)."""
+        """Read checkpoint metadata so arch hyperparams stored in checkpoints
+        override the static config — run.py does the same for NAFNet
+        width/blocks and the hybrid's nafnet_params/diffusion_params
+        (run.py:45-47,61-62). orbax dirs keep metadata in a JSON sidecar;
+        .pth files are torch-loaded once and cached for the weight pass."""
         import json
 
         path = os.path.join(self.cfg.ckpt_dir, name)
@@ -118,9 +158,7 @@ class InferenceEngine:
                 return json.load(f)
         pth = path + ".pth"
         if os.path.exists(pth):
-            from midd_tpu.convert.torch_import import load_pth
-
-            ckpt = load_pth(pth)
+            ckpt = self._load_pth(pth)
             return {k: v for k, v in ckpt.items() if not k.endswith("state_dict")}
         return {}
 
@@ -148,7 +186,9 @@ class InferenceEngine:
         # Diffusion path (standalone)
         unet = UNetDiffusion(cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
         v_diff = self._variables_for("diffusion", unet, x0, x0, t0)
-        noise_steps = int(self.meta["diffusion"].get("noise_steps", 50))
+        noise_steps = int(
+            self.meta["diffusion"].get("noise_steps", schedule.noise_steps)
+        )
         if noise_steps != schedule.noise_steps:
             schedule = make_schedule(
                 config.ScheduleConfig(noise_steps=noise_steps)
@@ -175,16 +215,48 @@ class InferenceEngine:
             return jnp.clip(expert.apply(v_exp, x), 0.0, 1.0)
 
         # Hybrid path: its OWN backend weights + arch configs from the
-        # checkpoint (run.py:60-74)
+        # checkpoint (run.py:60-74). The hybrid's schedule comes from ITS
+        # checkpoint's diffusion_params, independent of the standalone
+        # diffusion checkpoint's noise_steps.
         hmeta = self._peek_meta("hybrid")
+        dparams = hmeta.get("diffusion_params") or {}
         hyb_naf_cfg = self._nafnet_cfg_from_meta(
-            hmeta.get("nafnet_params", {}), cfg.nafnet_cfg
+            hmeta.get("nafnet_params", {}) or {}, cfg.nafnet_cfg
         )
+        if "model_channels" in dparams:
+            hyb_unet_cfg = config.DiffusionUNetConfig(
+                in_channels=int(dparams.get("in_channels", 1)),
+                model_channels=int(dparams["model_channels"]),
+                channel_mult=tuple(dparams.get("channel_mult", (1, 2, 3, 4))),
+                num_res_blocks=int(dparams.get("num_res_blocks", 2)),
+                attention_resolutions=tuple(dparams.get("attention_resolutions", (3,))),
+                time_emb_dim=int(dparams.get("time_emb_dim", 192)),
+                skip_mode=dparams.get("skip_mode", "ddim"),
+            )
+        else:
+            hyb_unet_cfg = cfg.diffusion_cfg
+        hschedule = (
+            make_schedule(config.ScheduleConfig(noise_steps=int(dparams["noise_steps"])))
+            if dparams.get("noise_steps")
+            else schedule
+        )
+
         router = NoiseAnalyzer(cfg.router_cfg, dtype=dt)
         fusion = FusionModule(cfg.fusion_cfg, dtype=dt)
-        hyb_unet = UNetDiffusion(cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
+        hyb_unet = UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
         hyb_naf = EnhancedNAFNet(hyb_naf_cfg, dtype=dt)
         v_h = self._variables_for_hybrid(hyb_naf, hyb_unet, router, fusion, x0, t0)
+        if "nafnet" not in v_h:
+            # Trainer-saved hybrid checkpoints hold only the trainable
+            # router+fusion groups (the backends were frozen externals,
+            # hybrid3diffusionspeed.py:669); fall back to the standalone
+            # paths' models and weights for the backends.
+            hyb_naf, hyb_unet, hschedule = naf, unet, schedule
+            v_h = {
+                "nafnet": v_naf["params"],
+                "diffusion_unet": v_diff["params"],
+                **v_h,
+            }
 
         def hybrid_fn(x):
             out = hybrid_forward(
@@ -192,7 +264,7 @@ class InferenceEngine:
                 lambda a: denoise(
                     lambda b, c, t: hyb_unet.apply({"params": v_h["diffusion_unet"]}, b, c, t),
                     a,
-                    schedule,
+                    hschedule,
                     cfg.hybrid_diffusion_steps,
                 ),
                 lambda a: router.apply({"params": v_h["router"]}, a),
@@ -253,12 +325,13 @@ class InferenceEngine:
 
             tree, meta = load_checkpoint(path)
             self.meta[name] = meta
-            return tree["params"] if "params" in tree else tree
+            groups = tree["params"] if "params" in tree else tree
+            return groups
         pth = path + ".pth"
         if os.path.exists(pth):
-            from midd_tpu.convert.torch_import import convert_state_dict, load_pth
+            from midd_tpu.convert.torch_import import convert_state_dict
 
-            ckpt = load_pth(pth)
+            ckpt = self._load_pth(pth)
             sd = ckpt["model_state_dict"]
             groups = {}
             for prefix, model, args in [

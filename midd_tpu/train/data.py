@@ -215,6 +215,13 @@ class PairedXRayDataset:
         self.is_train = is_train
         self.augment = augment if augment is not None else AugmentConfig()
         self.rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()
+
+    def _item_rng(self) -> np.random.Generator:
+        # np Generators are not thread-safe; spawn a child seed under a lock
+        # so __getitem__ can run on a thread pool (batches(num_workers>0))
+        with self._rng_lock:
+            return np.random.default_rng(int(self.rng.integers(2**63)))
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -224,7 +231,7 @@ class PairedXRayDataset:
         clean = load_image(c, self.img_size)
         noisy = load_image(n, self.img_size)
         if self.is_train:
-            clean, noisy = augment_pair(clean, noisy, self.augment, self.rng)
+            clean, noisy = augment_pair(clean, noisy, self.augment, self._item_rng())
         return clean, noisy
 
 
@@ -246,15 +253,21 @@ class SyntheticPairedDataset:
         self.is_train = is_train
         self.augment = augment if augment is not None else AugmentConfig()
         self.rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()
+
+    def _item_rng(self) -> np.random.Generator:
+        with self._rng_lock:
+            return np.random.default_rng(int(self.rng.integers(2**63)))
 
     def __len__(self) -> int:
         return self.clean.shape[0]
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         clean = self.clean[idx]
-        noisy = self.noise_fn(clean, self.rng)
+        rng = self._item_rng()
+        noisy = self.noise_fn(clean, rng)
         if self.is_train:
-            clean, noisy = augment_pair(clean, noisy, self.augment, self.rng)
+            clean, noisy = augment_pair(clean, noisy, self.augment, rng)
         return clean, noisy
 
 

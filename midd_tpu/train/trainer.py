@@ -55,6 +55,9 @@ class TrainConfig:
     ckpt_name: str = "best"
     seed: int = 42
     log_every: int = 10
+    # host input pipeline: threaded batch assembly + background device prefetch
+    num_workers: int = 2
+    prefetch: int = 2
     # rematerialise the forward in the backward pass (trade FLOPs for HBM;
     # enables larger batches/resolutions on one chip)
     remat: bool = False
@@ -321,9 +324,19 @@ class Trainer:
             epoch_loss, count = 0.0, 0
             t0 = time.time()
 
-            for clean, noisy in batches(
-                dataset, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
-            ):
+            batch_iter = batches(
+                dataset,
+                cfg.batch_size,
+                shuffle=True,
+                seed=cfg.seed + epoch,
+                num_workers=cfg.num_workers,
+            )
+            if cfg.prefetch > 0:
+                from midd_tpu.train.data import prefetch_to_device
+
+                batch_iter = prefetch_to_device(batch_iter, size=cfg.prefetch)
+
+            for clean, noisy in batch_iter:
                 rng, sub = jax.random.split(rng)
                 batch = (jnp.asarray(clean), jnp.asarray(noisy))
                 if self.has_batch_stats:
@@ -336,8 +349,10 @@ class Trainer:
                     st.params, st.opt_state, loss = self._train_step(
                         st.params, st.opt_state, batch, sub
                     )
-                epoch_loss += float(loss)
-                count += 1
+                loss_f = float(loss)
+                if np.isfinite(loss_f):  # skipped batches don't poison the avg
+                    epoch_loss += loss_f
+                    count += 1
 
             avg_loss = epoch_loss / max(1, count)
             st.history["losses"].append(avg_loss)

@@ -128,3 +128,67 @@ def test_engine_serves_orbax_dir(pth_dir, rng, tmp_path):
         theirs = torch_model(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
     theirs = np.clip(np.transpose(theirs.numpy(), (0, 2, 3, 1)), 0, 1)
     np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_engine_serves_trainer_checkpoints(rng, tmp_path):
+    """The framework's OWN Trainer checkpoints must be servable: expert
+    (batch_stats under extra) and hybrid (router+fusion only -> backend
+    fallback to the standalone paths)."""
+    from midd_tpu.train import data
+    from midd_tpu.train.recipes import train_expert, train_hybrid
+    from midd_tpu.train.trainer import TrainConfig
+
+    clean = rng.random((4, 16, 16, 1)).astype(np.float32)
+    ds = data.SyntheticPairedDataset(clean, is_train=False)
+
+    tiny_naf = config.NAFNetConfig(
+        width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)
+    )
+    tiny_unet = config.DiffusionUNetConfig(
+        model_channels=8, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(1,), time_emb_dim=16,
+    )
+
+    train_expert(
+        ds,
+        model_cfg=config.ExpertConfig(base_channels=8),
+        train_cfg=TrainConfig(epochs=1, batch_size=2, lr=1e-3,
+                              ckpt_dir=str(tmp_path), ckpt_name="expert",
+                              num_workers=0, prefetch=0),
+    )
+    train_hybrid(
+        ds,
+        nafnet_ckpt=None,
+        diffusion_ckpt=None,
+        hybrid_cfg=config.HybridConfig(
+            nafnet=tiny_naf, diffusion=tiny_unet,
+            schedule=config.ScheduleConfig(noise_steps=6),
+            router=config.RouterConfig(base_c=8),
+            fusion=config.FusionConfig(base_c=16),
+            training_diffusion_steps=2, inference_diffusion_steps=2,
+        ),
+        train_cfg=TrainConfig(epochs=1, batch_size=2, lr=1e-3,
+                              ckpt_dir=str(tmp_path), ckpt_name="hybrid",
+                              num_workers=0, prefetch=0),
+    )
+
+    engine = InferenceEngine(
+        EngineConfig(
+            img_size=16,
+            diffusion_steps=2,
+            hybrid_diffusion_steps=2,
+            nafnet_cfg=tiny_naf,
+            diffusion_cfg=tiny_unet,
+            expert_cfg=config.ExpertConfig(base_channels=8),
+            router_cfg=config.RouterConfig(base_c=8),
+            fusion_cfg=config.FusionConfig(base_c=16),
+            schedule_cfg=config.ScheduleConfig(noise_steps=6),
+            ckpt_dir=str(tmp_path),
+            warmup=False,
+        )
+    )
+    x = jnp.asarray(np.clip(rng.random((1, 16, 16, 1), dtype=np.float32), 0, 1))
+    for name in ("expert", "hybrid", "nafnet", "diffusion"):
+        out = np.asarray(engine.fns[name](x))
+        assert out.shape == (1, 16, 16, 1)
+        assert np.isfinite(out).all(), name
