@@ -28,6 +28,14 @@ def log(*a):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
+    ap.add_argument("--turbo", action="store_true",
+                    help="also measure the eps-reuse accelerated rollout (stderr only)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -74,15 +82,39 @@ def main():
         float(jnp.sum(rollout(inputs[-1])))
         log(f"batch {batch}: compile {time.time() - t:.1f}s")
 
+        from midd_tpu.utils.profiling import device_trace
+
         t = time.time()
-        outs = [rollout(x) for x in inputs[:n_iter]]
-        checksum = sum(float(jnp.sum(o)) for o in outs)
+        with device_trace(args.profile if batch == 8 else None):
+            outs = [rollout(x) for x in inputs[:n_iter]]
+            checksum = sum(float(jnp.sum(o)) for o in outs)
         assert checksum == checksum
         dt = (time.time() - t) / n_iter
         ips = batch / dt
         log(f"batch {batch}: {dt * 1000:.1f} ms/rollout -> {ips:.2f} img/s")
         if ips > best:
             best, best_batch = ips, batch
+
+    if args.turbo:
+        batch = best_batch
+        xs = [
+            jnp.asarray(
+                np.clip(rng.random((batch, size, size, 1)), 0, 1).astype(np.float32)
+            )
+            for _ in range(4)
+        ]
+
+        @jax.jit
+        def rollout_turbo(x):
+            eps = lambda a, c, t: model.apply(variables, a, c, t)
+            return denoise(eps, x, schedule, inference_steps=steps, eps_reuse=2)
+
+        float(jnp.sum(rollout_turbo(xs[-1])))
+        t = time.time()
+        outs = [rollout_turbo(x) for x in xs[:3]]
+        _ = sum(float(jnp.sum(o)) for o in outs)
+        dt_t = (time.time() - t) / 3
+        log(f"turbo (eps_reuse=2) batch {batch}: {dt_t * 1000:.1f} ms -> {batch / dt_t:.2f} img/s")
 
     baseline = 0.914  # P100 reference, normalised (see module docstring)
     result = {

@@ -39,40 +39,63 @@ def denoise(
     clamp_eps: bool = True,
     query_noise_scale: float = 0.5,
     key: Optional[jax.Array] = None,
+    eps_reuse: int = 1,
 ) -> jnp.ndarray:
     """Run the reverse rollout. ``eps_fn(x, condition, t)`` is the UNet apply
     (t shape (B,) int32). Returns the denoised image, same shape as ``noisy``.
+
+    ``eps_reuse=k`` (k>1) is an OPT-IN accelerator in the spirit of
+    forward-caching diffusion methods (FORA, arXiv:2407.01425): the UNet is
+    evaluated only on every k-th step and the predicted noise is reused in
+    between (epsilon varies slowly along the short deterministic trajectory).
+    k=2 halves UNet evaluations. Default k=1 is exact.
     """
     ts = jnp.asarray(
         timestep_sequence(schedule.noise_steps, inference_steps), jnp.int32
     )
+    n_steps = ts.shape[0]
     batch = noisy.shape[0]
     if stochastic and key is None:
         raise ValueError("stochastic sampling requires a PRNG key")
     keys = (
-        jax.random.split(key, ts.shape[0])
+        jax.random.split(key, n_steps)
         if stochastic
-        else jnp.zeros((ts.shape[0], 2), jnp.uint32)
+        else jnp.zeros((n_steps, 2), jnp.uint32)
     )
+    idxs = jnp.arange(n_steps, dtype=jnp.int32)
 
-    def step(x, scan_in):
-        t, k = scan_in
-        t_b = jnp.full((batch,), t, jnp.int32)
+    def compute_eps(x, t_b):
         eps = eps_fn(x, noisy, t_b)
         if clamp_eps:
             eps = jnp.clip(eps, -5.0, 5.0)
+        return eps.astype(jnp.float32)
+
+    def step(carry, scan_in):
+        x, eps_prev = carry
+        t, k, i = scan_in
+        t_b = jnp.full((batch,), t, jnp.int32)
+        if eps_reuse > 1:
+            eps = jax.lax.cond(
+                i % eps_reuse == 0,
+                lambda operands: compute_eps(*operands),
+                lambda operands: eps_prev,
+                (x, t_b),
+            )
+        else:
+            eps = compute_eps(x, t_b)
         a = schedule.alpha[t]
         ah = schedule.alpha_hat[t]
         x_f = x.astype(jnp.float32)
-        mean = (x_f - ((1.0 - a) / jnp.sqrt(1.0 - ah)) * eps.astype(jnp.float32)) / jnp.sqrt(a)
+        mean = (x_f - ((1.0 - a) / jnp.sqrt(1.0 - ah)) * eps) / jnp.sqrt(a)
         if stochastic:
             noise = jax.random.normal(k, x.shape, jnp.float32) * query_noise_scale
             noise = jnp.where(t > 0, noise, 0.0)
             mean = mean + jnp.sqrt(schedule.beta[t]) * noise
         x_next = jnp.clip(mean, 0.0, 1.0).astype(x.dtype)
-        return x_next, None
+        return (x_next, eps), None
 
-    x_final, _ = jax.lax.scan(step, noisy, (ts, keys))
+    eps0 = jnp.zeros(noisy.shape, jnp.float32)
+    (x_final, _), _ = jax.lax.scan(step, (noisy, eps0), (ts, keys, idxs))
     return x_final
 
 

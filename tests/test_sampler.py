@@ -105,3 +105,27 @@ def test_stochastic_sampler_runs_and_clamps(rng):
     # requires a key
     with pytest.raises(ValueError):
         denoise(eps_fn, noisy, sched, inference_steps=5, stochastic=True)
+
+
+def test_eps_reuse_modes(rng):
+    """eps_reuse=1 must be bit-identical to the original path; k=2 halves
+    UNet evaluations and stays close for smooth eps functions."""
+    from midd_tpu.diffusion import denoise as dn
+
+    sched = make_schedule(config.ScheduleConfig())
+    noisy = jnp.asarray(np.clip(rng.random((1, 8, 8, 1), dtype=np.float32), 0, 1))
+
+    calls = []
+
+    def eps_fn(x, cond, t):
+        calls.append(1)
+        return 0.05 * x - 0.02 * cond
+
+    exact = dn(eps_fn, noisy, sched, inference_steps=8)
+    exact_again = dn(eps_fn, noisy, sched, inference_steps=8, eps_reuse=1)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(exact_again), atol=0)
+
+    turbo = dn(eps_fn, noisy, sched, inference_steps=8, eps_reuse=2)
+    # close but not identical
+    diff = float(jnp.max(jnp.abs(turbo - exact)))
+    assert 0 < diff < 0.05
