@@ -1,11 +1,19 @@
 """Kernel-fused functional NAFNet forward.
 
 ``nafnet_apply_fused(params, cfg, x)`` computes exactly what
-``EnhancedNAFNet.apply`` computes (equivalence-tested), but executes each
-NAFBlock's FFN half through the fused Pallas kernel
+``EnhancedNAFNet.apply`` computes (equivalence-tested, bit-identical on TPU),
+but executes each NAFBlock's FFN half through the fused Pallas kernel
 (midd_tpu.ops.naf_ffn) instead of five separate XLA ops. It reads the
 standard flax param tree directly, so any checkpoint that works with the
 module works here.
+
+MEASURED (TPU v5e-lite, bf16, batch 8): the fusion is neutral — 1.00x at
+512², 0.94x at 256² with the channel threshold (without it, the 128-lane
+padding makes the C=32 stages 2x slower). XLA's own elementwise-into-conv
+fusion already covers these shapes well, confirming SURVEY §7's "measure
+first" warning; the path is kept as correct, tested infrastructure for
+wider-channel configs, and the flash-attention kernel (1.30x on the diffusion
+UNet forward) remains the adopted Pallas win.
 
 The first (spatial) half of the block keeps XLA's conv implementations —
 the 3x3 depthwise conv and the SCA global pool don't tile into the row
@@ -49,6 +57,12 @@ def _layernorm2d(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+# Below this channel count the kernel's 128-lane padding wastes more than the
+# fusion saves (TPU measurement: C=32 stages at 512² run 2x slower fused, the
+# C>=128 stages run ~1.1-1.3x faster); keep XLA for the narrow stages.
+MIN_FUSED_CHANNELS = 128
+
+
 def _nafblock(p: Dict, inp: jnp.ndarray) -> jnp.ndarray:
     c = inp.shape[-1]
     dw = p["conv2"]["kernel"].shape[-1]
@@ -63,6 +77,13 @@ def _nafblock(p: Dict, inp: jnp.ndarray) -> jnp.ndarray:
     x = x * sca
     x = _conv(p["conv3"], x)
     y = inp + x * p["beta"].astype(x.dtype)
+
+    if c < MIN_FUSED_CHANNELS:
+        x = _layernorm2d(p["norm2"], y)
+        x = _conv(p["conv4"], x)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x = _conv(p["conv5"], x1 * x2)
+        return y + x * p["gamma"].astype(x.dtype)
 
     # fused FFN half (Pallas)
     return naf_ffn_fused(
