@@ -79,6 +79,34 @@ def denoise_image(
     return img, dt
 
 
+def save_comparison(noisy_path: str, denoised_img, out_path: str) -> None:
+    """Noisy / denoised / difference side-by-side figure, like the reference's
+    visualize_results (NafNet/NafnetModel.py:713-736) and the inference
+    scripts' comparison PNGs."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    original = Image.open(noisy_path).convert("L")
+    fig, axes = plt.subplots(1, 3, figsize=(18, 6))
+    axes[0].imshow(original, cmap="gray")
+    axes[0].set_title("Noisy Input")
+    axes[1].imshow(denoised_img, cmap="gray")
+    axes[1].set_title("Denoised")
+    diff = np.abs(
+        np.asarray(original.resize(denoised_img.size), np.float32)
+        - np.asarray(denoised_img, np.float32)
+    )
+    axes[2].imshow(diff, cmap="hot")
+    axes[2].set_title("Noise Removed (difference)")
+    for ax in axes:
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+
+
 def main():
     import argparse
 
@@ -91,6 +119,8 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--tta", action="store_true")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--compare", default=None,
+                    help="also save a noisy/denoised/difference comparison figure")
     args = ap.parse_args()
 
     img, dt = denoise_image(
@@ -104,6 +134,9 @@ def main():
     )
     img.save(args.out)
     print(f"{args.model}: {dt:.3f}s -> {args.out}")
+    if args.compare:
+        save_comparison(args.image, img, args.compare)
+        print(f"comparison -> {args.compare}")
 
 
 if __name__ == "__main__":
