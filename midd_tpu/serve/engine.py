@@ -67,6 +67,9 @@ class EngineConfig:
     # batch-sharded inference over a dp mesh (multi-chip serving; SURVEY
     # section 7 step 10). Buckets must be multiples of the dp size.
     data_parallel: bool = False
+    # opt-in accelerated sampling: recompute epsilon every k-th step and reuse
+    # in between (FORA-style; measured 1.76x at k=2 with 47.5 dB vs exact)
+    turbo_eps_reuse: int = 1
 
 
 class InferenceEngine:
@@ -196,7 +199,9 @@ class InferenceEngine:
 
         def diffusion_fn(x):
             eps = lambda a, c, t: unet.apply(v_diff, a, c, t)
-            out = denoise(eps, x, schedule, cfg.diffusion_steps)
+            out = denoise(
+                eps, x, schedule, cfg.diffusion_steps, eps_reuse=cfg.turbo_eps_reuse
+            )
             return jnp.clip(out, 0.0, 1.0)
 
         # NAFNet path (arch from checkpoint metadata when present, run.py:45-47)
@@ -266,6 +271,7 @@ class InferenceEngine:
                     a,
                     hschedule,
                     cfg.hybrid_diffusion_steps,
+                    eps_reuse=cfg.turbo_eps_reuse,
                 ),
                 lambda a: router.apply({"params": v_h["router"]}, a),
                 lambda a, b, m: fusion.apply({"params": v_h["fusion"]}, a, b, m),

@@ -139,6 +139,8 @@ if __name__ == "__main__":
     ap.add_argument("--img-size", type=int, default=512)
     ap.add_argument("--ckpt-dir", default="checkpoints")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--turbo", type=int, default=1,
+                    help="eps-reuse factor for the diffusion rollouts (1 = exact)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -147,5 +149,6 @@ if __name__ == "__main__":
         img_size=args.img_size,
         ckpt_dir=args.ckpt_dir,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        turbo_eps_reuse=args.turbo,
     )
     serve_forever(args.host, args.port, engine_config=cfg)

@@ -129,30 +129,32 @@ def ssim_loss(
     return jax.lax.stop_gradient(loss) if dead_grad else loss
 
 
-def _feature_params(key: jax.Array, in_ch: int = 1, widths=(16, 32, 64)):
+def _feature_params(seed: int = 1234, in_ch: int = 1, widths=(16, 32, 64)):
     """Fixed random conv stack standing in for VGG19 features[:16]
-    (no pretrained weights available offline; documented deviation)."""
+    (no pretrained weights available offline; documented deviation).
+    Built with numpy so lazy creation is trace-safe (constants under jit)."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
     params = []
     c = in_ch
     for w in widths:
-        key, sub = jax.random.split(key)
-        k = jax.random.normal(sub, (3, 3, c, w), jnp.float32) * (
+        k = rng.standard_normal((3, 3, c, w)).astype(_np.float32) * (
             2.0 / (9 * c)
         ) ** 0.5
+        # keep plain numpy: any jnp array materialised lazily inside a jit
+        # trace would be a Tracer and leak out of the trace
         params.append(k)
         c = w
     return params
 
 
-_FEATURE_PARAMS = None
+_FEATURE_PARAMS = _feature_params()
 
 
 def feature_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Random-feature perceptual distance (VGG19 substitute for the Expert
-    trainer, DirectUNet:143-158). Deterministic: seeded once."""
-    global _FEATURE_PARAMS
-    if _FEATURE_PARAMS is None:
-        _FEATURE_PARAMS = _feature_params(jax.random.PRNGKey(1234))
+    trainer, DirectUNet:143-158). Deterministic: seeded once at import."""
 
     def feats(x):
         h = x.astype(jnp.float32)
