@@ -60,7 +60,7 @@ def main():
     best = 0.0
     best_batch = 1
     rng = np.random.default_rng(0)
-    for batch in (1, 2, 4, 8):
+    for batch in (1, 8):  # 2/4 never win (measured); keep driver runs fast
         # distinct inputs per timed call: the runtime may memoise repeated
         # executions with identical argument buffers
         n_iter = 3

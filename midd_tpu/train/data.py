@@ -339,3 +339,26 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
         if item is _END:
             break
         yield item
+
+
+def visualize_pairs(dataset, out_path: str = "dataset_validation_pairs.png", n: int = 2) -> None:
+    """Pre-training dataset sanity figure: the first n (noisy, clean) pairs
+    side by side (DirectUNet/DirectUNetModel.py:286-303)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = min(n, len(dataset))
+    fig, axes = plt.subplots(n, 2, figsize=(10, 5 * n), squeeze=False)
+    for i in range(n):
+        clean, noisy = dataset[i]
+        axes[i][0].imshow(noisy[..., 0], cmap="gray")
+        axes[i][0].set_title(f"Pair {i + 1}: Noisy Input")
+        axes[i][1].imshow(clean[..., 0], cmap="gray")
+        axes[i][1].set_title(f"Pair {i + 1}: Clean Target")
+        for ax in axes[i]:
+            ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)

@@ -386,6 +386,9 @@ def main():
         max_samples=args.max_samples,
         substring_glob=(args.model == "hybrid"),
     )
+    from midd_tpu.train.data import visualize_pairs
+
+    visualize_pairs(dataset)  # pre-training sanity figure (DirectUNet:286-303)
 
     overrides = {}
     if args.epochs:

@@ -108,3 +108,11 @@ def test_batches_with_workers(rng):
     assert len(serial) == len(threaded) == 2
     for (c1, n1), (c2, n2) in zip(serial, threaded):
         assert c1.shape == c2.shape and n1.shape == n2.shape
+
+
+def test_visualize_pairs(rng, tmp_path):
+    clean = rng.random((3, 8, 8, 1)).astype(np.float32)
+    ds = data.SyntheticPairedDataset(clean, is_train=False)
+    out = tmp_path / "pairs.png"
+    data.visualize_pairs(ds, str(out), n=2)
+    assert out.exists() and out.stat().st_size > 0
