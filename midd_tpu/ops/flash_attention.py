@@ -94,7 +94,7 @@ def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
     return out[:, :, :d]
 
 
-def supported(q: jnp.ndarray, block_q: int = 256, block_k: int = 512) -> bool:
+def supported(q: jnp.ndarray, block_q: int = 512, block_k: int = 512) -> bool:
     _, n, _, d = q.shape
     return n % block_q == 0 and n % block_k == 0 and n >= block_k
 
@@ -103,9 +103,11 @@ def mha_flash(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 256,
+    block_q: int = 512,
     block_k: int = 512,
 ) -> jnp.ndarray:
+    # block sizes tuned on TPU v5e at the serving shape (bh=16, n=4096, d=96):
+    # (512,512) 33.4ms < (512,1024) 33.9 < (1024,1024) 35.7 < (256,512) 36.5
     """(B, N, H, D) attention via the Pallas kernel, with XLA fallback."""
     if not supported(q, block_q, block_k):
         from midd_tpu.ops.attention import mha_reference
