@@ -82,14 +82,19 @@ def main():
         float(jnp.sum(rollout(inputs[-1])))
         log(f"batch {batch}: compile {time.time() - t:.1f}s")
 
-        from midd_tpu.utils.profiling import device_trace
-
         t = time.time()
-        with device_trace(args.profile if batch == 8 else None):
-            outs = [rollout(x) for x in inputs[:n_iter]]
-            checksum = sum(float(jnp.sum(o)) for o in outs)
+        outs = [rollout(x) for x in inputs[:n_iter]]
+        checksum = sum(float(jnp.sum(o)) for o in outs)
         assert checksum == checksum
         dt = (time.time() - t) / n_iter
+
+        if args.profile and batch == 8:
+            # separate, UNTIMED iteration: profiling overhead must not
+            # contaminate the metric of record
+            from midd_tpu.utils.profiling import device_trace
+
+            with device_trace(args.profile):
+                float(jnp.sum(rollout(inputs[0])))
         ips = batch / dt
         log(f"batch {batch}: {dt * 1000:.1f} ms/rollout -> {ips:.2f} img/s")
         if ips > best:

@@ -52,9 +52,10 @@ def main():
         clean, noise_type="speckle", is_train=True,
         augment=data.AugmentConfig(rotation_prob=0.0),
     )
-    val = data.SyntheticPairedDataset(clean[:8], noise_type="speckle", is_train=False, seed=999)
-    noisy_stack = np.stack([val[i][1] for i in range(8)])
-    base_p, _ = compute_metrics(jnp.asarray(noisy_stack), jnp.asarray(clean[:8]))
+    n_val = min(8, args.n)
+    val = data.SyntheticPairedDataset(clean[:n_val], noise_type="speckle", is_train=False, seed=999)
+    noisy_stack = np.stack([val[i][1] for i in range(n_val)])
+    base_p, _ = compute_metrics(jnp.asarray(noisy_stack), jnp.asarray(clean[:n_val]))
     print(f"[baseline] noisy PSNR {float(base_p):.2f} dB", file=sys.stderr, flush=True)
 
     naf_cfg = config.NAFNetConfig(

@@ -12,8 +12,9 @@ are masked to the true C so padding is inert. Weights live in VMEM replicated
 across the row-tile grid. Equivalence vs the unfused path is tested in
 interpret mode on CPU; the same kernel compiles via Mosaic on TPU.
 
-Wire-up: ``NAFBlock(use_fused_ffn=True)`` (off by default; adoption is
-benchmark-gated).
+Wire-up: ``midd_tpu.ops.naf_fast.nafnet_apply_fused(params, cfg, x)`` — a
+functional NAFNet forward that routes every FFN half through this kernel
+(adoption is benchmark-gated; see naf_fast.py for the measured numbers).
 """
 
 from __future__ import annotations

@@ -68,8 +68,12 @@ class EngineConfig:
     # section 7 step 10). Buckets must be multiples of the dp size.
     data_parallel: bool = False
     # opt-in accelerated sampling: recompute epsilon every k-th step and reuse
-    # in between (FORA-style; measured 1.76x at k=2 with 47.5 dB vs exact)
+    # in between (FORA-style; measured 1.76x at k=2 with 47.5 dB vs exact on
+    # the STANDALONE diffusion rollout). Applies to the standalone path only;
+    # the hybrid's fusion was trained on exact rollouts, so accelerating it is
+    # a separate, quality-unvalidated opt-in.
     turbo_eps_reuse: int = 1
+    hybrid_turbo_eps_reuse: int = 1
 
 
 class InferenceEngine:
@@ -271,7 +275,7 @@ class InferenceEngine:
                     a,
                     hschedule,
                     cfg.hybrid_diffusion_steps,
-                    eps_reuse=cfg.turbo_eps_reuse,
+                    eps_reuse=cfg.hybrid_turbo_eps_reuse,
                 ),
                 lambda a: router.apply({"params": v_h["router"]}, a),
                 lambda a, b, m: fusion.apply({"params": v_h["fusion"]}, a, b, m),

@@ -140,7 +140,11 @@ if __name__ == "__main__":
     ap.add_argument("--ckpt-dir", default="checkpoints")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--turbo", type=int, default=1,
-                    help="eps-reuse factor for the diffusion rollouts (1 = exact)")
+                    help="eps-reuse factor for the STANDALONE diffusion rollout "
+                         "(1 = exact; quality vs exact measured in PARITY.md)")
+    ap.add_argument("--turbo-hybrid", type=int, default=1,
+                    help="eps-reuse inside the hybrid path (quality-unvalidated; "
+                         "the fusion was trained on exact rollouts)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -150,5 +154,6 @@ if __name__ == "__main__":
         ckpt_dir=args.ckpt_dir,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         turbo_eps_reuse=args.turbo,
+        hybrid_turbo_eps_reuse=args.turbo_hybrid,
     )
     serve_forever(args.host, args.port, engine_config=cfg)

@@ -386,9 +386,12 @@ def main():
         max_samples=args.max_samples,
         substring_glob=(args.model == "hybrid"),
     )
-    from midd_tpu.train.data import visualize_pairs
+    try:  # pre-training sanity figure (DirectUNet:286-303); never fatal
+        from midd_tpu.train.data import visualize_pairs
 
-    visualize_pairs(dataset)  # pre-training sanity figure (DirectUNet:286-303)
+        visualize_pairs(dataset)
+    except Exception as e:  # noqa: BLE001
+        print(f"(pair visualization skipped: {e})")
 
     overrides = {}
     if args.epochs:

@@ -37,15 +37,22 @@ def test_naf_ffn_fused_matches_reference(rng, c):
     np.testing.assert_allclose(ours, ref, atol=2e-4)
 
 
-def test_nafnet_apply_fused_matches_module(rng):
+@pytest.mark.parametrize("variant", ["standard", "model2"])
+def test_nafnet_apply_fused_matches_module(rng, variant):
     """The kernel-fused functional forward must equal EnhancedNAFNet.apply."""
     from midd_tpu import config
     from midd_tpu.models import EnhancedNAFNet
     from midd_tpu.ops.naf_fast import nafnet_apply_fused
 
-    cfg = config.NAFNetConfig(
-        width=16, middle_blk_num=2, enc_blk_nums=(1, 2), dec_blk_nums=(1, 1)
-    )
+    if variant == "standard":
+        cfg = config.NAFNetConfig(
+            width=16, middle_blk_num=2, enc_blk_nums=(1, 2), dec_blk_nums=(1, 1)
+        )
+    else:  # model2 branches: multiscale intro + additive skips
+        cfg = config.NAFNetConfig(
+            width=16, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1),
+            multiscale_intro=True, additive_skips=True,
+        )
     model = EnhancedNAFNet(cfg)
     x = jnp.asarray(np.clip(rng.random((1, 24, 20, 1), dtype=np.float32), 0, 1))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)

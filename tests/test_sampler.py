@@ -108,17 +108,15 @@ def test_stochastic_sampler_runs_and_clamps(rng):
 
 
 def test_eps_reuse_modes(rng):
-    """eps_reuse=1 must be bit-identical to the original path; k=2 halves
-    UNet evaluations and stays close for smooth eps functions."""
+    """eps_reuse=1 must be bit-identical to the original path; k=2 stays
+    close for smooth eps functions (the 1.76x eval reduction is measured on
+    TPU, see PARITY.md — call counts are not observable through scan/cond)."""
     from midd_tpu.diffusion import denoise as dn
 
     sched = make_schedule(config.ScheduleConfig())
     noisy = jnp.asarray(np.clip(rng.random((1, 8, 8, 1), dtype=np.float32), 0, 1))
 
-    calls = []
-
     def eps_fn(x, cond, t):
-        calls.append(1)
         return 0.05 * x - 0.02 * cond
 
     exact = dn(eps_fn, noisy, sched, inference_steps=8)
