@@ -40,6 +40,7 @@ def denoise(
     query_noise_scale: float = 0.5,
     key: Optional[jax.Array] = None,
     eps_reuse: int = 1,
+    noise_seq: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the reverse rollout. ``eps_fn(x, condition, t)`` is the UNet apply
     (t shape (B,) int32). Returns the denoised image, same shape as ``noisy``.
@@ -55,13 +56,20 @@ def denoise(
     )
     n_steps = ts.shape[0]
     batch = noisy.shape[0]
-    if stochastic and key is None:
+    if stochastic and key is None and noise_seq is None:
         raise ValueError("stochastic sampling requires a PRNG key")
-    keys = (
-        jax.random.split(key, n_steps)
-        if stochastic
-        else jnp.zeros((n_steps, 2), jnp.uint32)
-    )
+    if noise_seq is not None:
+        # injected per-step standard normals (n_steps, *x.shape) — used by the
+        # golden-parity test to feed the torch loop and this scan IDENTICAL
+        # posterior noise (cddpm/cddpmModels.py:295-299 draw order).
+        keys = jnp.asarray(noise_seq, jnp.float32)
+        assert keys.shape == (n_steps, *noisy.shape), keys.shape
+    else:
+        keys = (
+            jax.random.split(key, n_steps)
+            if stochastic
+            else jnp.zeros((n_steps, 2), jnp.uint32)
+        )
     idxs = jnp.arange(n_steps, dtype=jnp.int32)
 
     def compute_eps(x, t_b):
@@ -88,8 +96,12 @@ def denoise(
         x_f = x.astype(jnp.float32)
         mean = (x_f - ((1.0 - a) / jnp.sqrt(1.0 - ah)) * eps) / jnp.sqrt(a)
         if stochastic:
-            noise = jax.random.normal(k, x.shape, jnp.float32) * query_noise_scale
-            noise = jnp.where(t > 0, noise, 0.0)
+            raw = (
+                k  # injected standard normal for this step
+                if noise_seq is not None
+                else jax.random.normal(k, x.shape, jnp.float32)
+            )
+            noise = jnp.where(t > 0, raw * query_noise_scale, 0.0)
             mean = mean + jnp.sqrt(schedule.beta[t]) * noise
         x_next = jnp.clip(mean, 0.0, 1.0).astype(x.dtype)
         return (x_next, eps), None

@@ -1,5 +1,6 @@
 from midd_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    count_tp_sharded,
     make_mesh,
     param_shardings,
     replicated,

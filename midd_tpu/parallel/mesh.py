@@ -70,3 +70,20 @@ def param_shardings(params, mesh: Mesh, min_size: int = 1 << 16):
 
 def shard_params(params, mesh: Mesh, min_size: int = 1 << 16):
     return jax.device_put(params, param_shardings(params, mesh, min_size))
+
+
+def count_tp_sharded(shardings) -> int:
+    """Number of leaves whose PartitionSpec actually names the tp axis.
+
+    Used by tests and the multichip dryrun to prove tensor parallelism is
+    doing real work (not silently replicating everything because every
+    kernel fell under ``min_size``)."""
+    n = 0
+    for s in jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+    ):
+        if isinstance(s, NamedSharding) and "tp" in jax.tree_util.tree_leaves(
+            tuple(s.spec)
+        ):
+            n += 1
+    return n

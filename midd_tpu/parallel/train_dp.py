@@ -29,14 +29,17 @@ def make_sharded_train_step(
     tx: optax.GradientTransformation,
     params,
     mesh,
+    min_size: int = 1 << 16,
 ) -> Tuple[Callable, Any, Any]:
     """Returns (step_fn, sharded_params, sharded_opt_state).
 
     ``step_fn(params, opt_state, batch, rng) -> (params, opt_state, loss)``
     with batch sharded over dp and params/optimizer state sharded per
-    ``param_shardings``.
+    ``param_shardings``. ``min_size`` is the tensor-parallel threshold:
+    kernels with at least this many elements get their output-channel axis
+    sharded over tp (lower it for small test configs so tp does real work).
     """
-    p_shard = param_shardings(params, mesh)
+    p_shard = param_shardings(params, mesh, min_size=min_size)
     params = jax.device_put(params, p_shard)
     opt_state = jax.jit(
         tx.init, out_shardings=None

@@ -67,6 +67,15 @@ class EngineConfig:
     # batch-sharded inference over a dp mesh (multi-chip serving; SURVEY
     # section 7 step 10). Buckets must be multiples of the dp size.
     data_parallel: bool = False
+    # tensor-parallel inference: conv/dense kernels with >= tp_min_size
+    # elements are sharded over the mesh's tp axis (output channels); XLA
+    # partitions the convs and inserts the collectives. Composes with
+    # data_parallel (batch over dp, weights over tp).
+    tensor_parallel: bool = False
+    tp_min_size: int = 1 << 16
+    # tp axis size; None = all devices when tensor_parallel alone (so batch-1
+    # requests work: dp=1), else the (4,2,1) mesh policy when composed with dp.
+    tp_size: Optional[int] = None
     # opt-in accelerated sampling: recompute epsilon every k-th step and reuse
     # in between (FORA-style; measured 1.76x at k=2 with 47.5 dB vs exact on
     # the STANDALONE diffusion rollout). Applies to the standalone path only;
@@ -150,6 +159,19 @@ class InferenceEngine:
         self.meta[name] = {"demo_weights": True}
         return jax.jit(model.init)(self._demo_key(name), *example_args)
 
+    def _shard(self, tree):
+        """Lay out a loaded variables tree for tensor-parallel serving: large
+        kernels sharded over tp (output channels), the rest replicated. The
+        jitted paths capture these committed arrays and GSPMD partitions the
+        convs around their layouts."""
+        if self.mesh is None or self.mesh.shape["tp"] == 1:
+            return tree
+        from midd_tpu.parallel.mesh import count_tp_sharded, param_shardings
+
+        shardings = param_shardings(tree, self.mesh, min_size=self.cfg.tp_min_size)
+        self.n_tp_sharded += count_tp_sharded(shardings)
+        return jax.device_put(tree, shardings)
+
     def _peek_meta(self, name: str) -> Dict:
         """Read checkpoint metadata so arch hyperparams stored in checkpoints
         override the static config — run.py does the same for NAFNet
@@ -190,9 +212,22 @@ class InferenceEngine:
         t0 = jnp.zeros((1,), jnp.int32)
         schedule = make_schedule(cfg.schedule_cfg)
 
+        self.mesh = None
+        self.n_tp_sharded = 0
+        if (cfg.data_parallel or cfg.tensor_parallel) and len(jax.devices()) > 1:
+            from midd_tpu.parallel import make_mesh
+
+            if cfg.tensor_parallel:
+                tp = cfg.tp_size
+                if tp is None and not cfg.data_parallel:
+                    tp = len(jax.devices())  # dp=1: single-image requests work
+            else:
+                tp = 1
+            self.mesh = make_mesh(tp=tp)
+
         # Diffusion path (standalone)
         unet = UNetDiffusion(cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
-        v_diff = self._variables_for("diffusion", unet, x0, x0, t0)
+        v_diff = self._shard(self._variables_for("diffusion", unet, x0, x0, t0))
         noise_steps = int(
             self.meta["diffusion"].get("noise_steps", schedule.noise_steps)
         )
@@ -211,14 +246,14 @@ class InferenceEngine:
         # NAFNet path (arch from checkpoint metadata when present, run.py:45-47)
         naf_cfg = self._nafnet_cfg_from_meta(self._peek_meta("nafnet"), cfg.nafnet_cfg)
         naf = EnhancedNAFNet(naf_cfg, dtype=dt)
-        v_naf = self._variables_for("nafnet", naf, x0)
+        v_naf = self._shard(self._variables_for("nafnet", naf, x0))
 
         def nafnet_fn(x):
             return jnp.clip(naf.apply(v_naf, x), 0.0, 1.0)
 
         # Expert path
         expert = ExpertDenoiser(cfg.expert_cfg, dtype=dt)
-        v_exp = self._variables_for("expert", expert, x0)
+        v_exp = self._shard(self._variables_for("expert", expert, x0))
 
         def expert_fn(x):
             return jnp.clip(expert.apply(v_exp, x), 0.0, 1.0)
@@ -254,7 +289,7 @@ class InferenceEngine:
         fusion = FusionModule(cfg.fusion_cfg, dtype=dt)
         hyb_unet = UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
         hyb_naf = EnhancedNAFNet(hyb_naf_cfg, dtype=dt)
-        v_h = self._variables_for_hybrid(hyb_naf, hyb_unet, router, fusion, x0, t0)
+        v_h = self._shard(self._variables_for_hybrid(hyb_naf, hyb_unet, router, fusion, x0, t0))
         if "nafnet" not in v_h:
             # Trainer-saved hybrid checkpoints hold only the trainable
             # router+fusion groups (the backends were frozen externals,
@@ -289,17 +324,15 @@ class InferenceEngine:
             "expert": expert_fn,
             "hybrid": hybrid_fn,
         }
-        if cfg.data_parallel and len(jax.devices()) > 1:
-            from midd_tpu.parallel import batch_sharding, make_mesh
+        if self.mesh is not None:
+            from midd_tpu.parallel import batch_sharding
 
-            self.mesh = make_mesh(tp=1)
             bs = batch_sharding(self.mesh)
             self.fns = {
                 n: jax.jit(f, in_shardings=bs, out_shardings=bs)
                 for n, f in raw_fns.items()
             }
         else:
-            self.mesh = None
             self.fns = {n: jax.jit(f) for n, f in raw_fns.items()}
 
         if cfg.warmup:

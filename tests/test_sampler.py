@@ -107,6 +107,88 @@ def test_stochastic_sampler_runs_and_clamps(rng):
         denoise(eps_fn, noisy, sched, inference_steps=5, stochastic=True)
 
 
+def test_stochastic_sampler_golden_parity_vs_torch(rng):
+    """Ancestral (cDDPM) sampler vs the torch loop with IDENTICAL injected
+    posterior noise: a sign/scale error in the 0.5-scaled query noise or the
+    sqrt(beta) posterior term (cddpm/cddpmModels.py:290-303) fails this at
+    1e-4 — the round-1 gap where only shape/range was checked."""
+    ref = load_reference()
+    tm = ref["cddpm"].UNetDiffusion().eval()
+    tsampler = ref["cddpm"].DiffusionDenoiser(tm, noise_steps=50)
+
+    noisy = np.clip(rng.random((1, 32, 32, 1), dtype=np.float32), 0, 1)
+    jm = UNetDiffusion(config.CDDPM_UNET)
+    x = jnp.asarray(noisy)
+    variables = convert_state_dict(
+        tm.state_dict(),
+        jax.jit(jm.init)(jax.random.PRNGKey(0), x, x, jnp.zeros((1,), jnp.int32)),
+    )
+
+    steps = timestep_sequence(50, 8)
+    # one standard normal per reverse step, shared verbatim by both loops
+    noise_seq = rng.standard_normal((len(steps), *noisy.shape)).astype(np.float32)
+
+    eps_fn = lambda a, c, t: jm.apply(variables, a, c, t)
+    sched = make_schedule(config.ScheduleConfig())
+    ours = np.asarray(
+        jax.jit(
+            lambda xx: denoise(
+                eps_fn,
+                xx,
+                sched,
+                inference_steps=8,
+                stochastic=True,
+                clamp_eps=False,
+                noise_seq=jnp.asarray(noise_seq),
+            )
+        )(x)
+    )
+
+    # feed the torch loop the same normals: its randn_like draws happen once
+    # per step with i > 0, in reverse-t order — i.e. noise_seq[0..n-2]
+    queue = [torch.from_numpy(np.transpose(n, (0, 3, 1, 2))) for n in noise_seq]
+    real_randn_like = torch.randn_like
+    calls = []
+
+    def fake_randn_like(t, **kw):
+        calls.append(t.shape)
+        return queue.pop(0).to(t.dtype)
+
+    torch.randn_like = fake_randn_like
+    try:
+        with torch.no_grad():
+            theirs = tsampler.denoise(
+                torch.from_numpy(np.transpose(noisy, (0, 3, 1, 2))),
+                inference_steps=8,
+            )
+    finally:
+        torch.randn_like = real_randn_like
+    assert len(calls) == len(steps) - 1  # t=0 step draws no noise upstream
+    theirs = np.transpose(theirs.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_stochastic_noise_seq_matches_key_path(rng):
+    """noise_seq must reproduce the key-driven path exactly when fed the same
+    normals jax would draw."""
+    sched = make_schedule(config.ScheduleConfig())
+    noisy = jnp.asarray(np.clip(rng.random((1, 8, 8, 1), dtype=np.float32), 0, 1))
+    eps_fn = lambda x, c, t: 0.1 * x
+    key = jax.random.PRNGKey(3)
+    via_key = denoise(
+        eps_fn, noisy, sched, inference_steps=5, stochastic=True,
+        clamp_eps=False, key=key,
+    )
+    steps = timestep_sequence(50, 5)
+    keys = jax.random.split(key, len(steps))
+    seq = jnp.stack([jax.random.normal(k, noisy.shape, jnp.float32) for k in keys])
+    via_seq = denoise(
+        eps_fn, noisy, sched, inference_steps=5, stochastic=True,
+        clamp_eps=False, noise_seq=seq,
+    )
+    np.testing.assert_allclose(np.asarray(via_key), np.asarray(via_seq), atol=0)
+
+
 def test_eps_reuse_modes(rng):
     """eps_reuse=1 must be bit-identical to the original path; k=2 stays
     close for smooth eps functions (the 1.76x eval reduction is measured on
