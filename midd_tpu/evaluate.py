@@ -26,20 +26,24 @@ def evaluate(
     tta: bool = False,
     bf16: bool = False,
     batch_size: int = 1,
+    engine_kwargs: Optional[dict] = None,
+    engine: Optional[object] = None,
 ):
     from midd_tpu.inference import tta_4flip
     from midd_tpu.serve.engine import EngineConfig, InferenceEngine
     from midd_tpu.train.metrics import compute_metrics
 
-    cfg = EngineConfig(
-        img_size=img_size,
-        diffusion_steps=steps,
-        hybrid_diffusion_steps=steps,
-        ckpt_dir=ckpt_dir,
-        compute_dtype=jnp.bfloat16 if bf16 else None,
-        warmup=False,
-    )
-    engine = InferenceEngine(cfg)
+    if engine is None:
+        cfg = EngineConfig(
+            img_size=img_size,
+            diffusion_steps=steps,
+            hybrid_diffusion_steps=steps,
+            ckpt_dir=ckpt_dir,
+            compute_dtype=jnp.bfloat16 if bf16 else None,
+            warmup=False,
+            **(engine_kwargs or {}),
+        )
+        engine = InferenceEngine(cfg)
     fn = engine.fns[model]
     if tta:
         fn = jax.jit(tta_4flip(fn))

@@ -13,6 +13,13 @@ off afterwards). K/V for one (batch, head) fit comfortably in VMEM at N=4096
 (4096 x 128 fp32 = 2 MB each), so the kernel streams q blocks over resident
 K/V — the right regime for these sizes.
 
+Differentiable: a ``jax.custom_vjp`` supplies the standard flash backward —
+the forward additionally emits the per-row logsumexp, and two kernels
+recompute the probabilities blockwise to produce dq (q-block grid, K/V
+resident) and dk/dv (k-block grid, Q/dO resident). This lets the diffusion /
+hybrid TRAINERS run the kernel, not just serving (training attention is the
+same hot block, DDIM/DDIMModel.py:135-166).
+
 Falls back to the exact XLA path (midd_tpu.ops.attention.mha_reference) for
 shapes the kernel doesn't cover; runs in interpret mode on CPU so tests
 exercise the same code path.
@@ -31,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+def _flash_fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: float
+):
     q = q_ref[0].astype(jnp.float32) * scale  # (BQ, Dp)
     n = k_ref.shape[1]
     block_q, dp = q.shape
@@ -54,6 +63,63 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
 
     m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m, l, acc))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, :] = (m + jnp.log(l))[:, 0]
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, block_k: int, scale: float
+):
+    """dq for one q block: stream K/V blocks, recompute p from the saved
+    logsumexp (no rescaling pass needed), ds = p * (dO v^T - delta)."""
+    q = q_ref[0].astype(jnp.float32)  # (BQ, Dp)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :][:, None]  # (BQ, 1)
+    delta = delta_ref[0, :][:, None]
+    n = k_ref.shape[1]
+    block_q, dp = q.shape
+
+    def body(j, acc):
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jnp.dot(q, kb.T, preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)  # exact softmax probs for this block
+        dpij = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
+        ds = p * (dpij - delta)
+        return acc + jnp.dot(ds, kb, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, n // block_k, body, jnp.zeros((block_q, dp), jnp.float32))
+    dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dk_ref, dv_ref,
+    *, block_q: int, scale: float,
+):
+    """dk, dv for one k block: stream Q/dO blocks; dv = p^T dO,
+    dk = scale * ds^T q."""
+    kb = k_ref[0].astype(jnp.float32)  # (BK, Dp)
+    vb = v_ref[0].astype(jnp.float32)
+    n = q_ref.shape[1]
+    block_k, dp = kb.shape
+
+    def body(i, carry):
+        dk, dv = carry
+        qb = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        dob = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        s = scale * jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)  # (BQ, BK)
+        dv = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32)
+        dpij = jnp.dot(dob, vb.T, preferred_element_type=jnp.float32)
+        ds = p * (dpij - delta)
+        dk = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    zero = jnp.zeros((block_k, dp), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n // block_q, body, (zero, zero))
+    dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _pad_lane(x: jnp.ndarray) -> jnp.ndarray:
@@ -64,33 +130,102 @@ def _pad_lane(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
-    """q,k,v: (BH, N, D) -> (BH, N, D)."""
-    bh, n, d = q.shape
-    scale = 1.0 / math.sqrt(d)
-    qp, kp, vp = _pad_lane(q), _pad_lane(k), _pad_lane(v)
-    dp = qp.shape[-1]
-
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+def _fwd_call(q, k, v, block_q: int, block_k: int, scale: float, interpret: bool):
+    bh, n, dp = q.shape
+    return pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, block_k=block_k, scale=scale),
         grid=(bh, n // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, n, dp), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, dp), q.dtype),
+            jax.ShapeDtypeStruct((bh, n), jnp.float32),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * n * n * dp,
             bytes_accessed=bh * n * dp * 4 * 4,
             transcendentals=bh * n * n,
         ),
-    )(qp, kp, vp)
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_padded(q, k, v, block_q: int, block_k: int, scale: float, interpret: bool):
+    o, _ = _fwd_call(q, k, v, block_q, block_k, scale, interpret)
+    return o
+
+
+def _flash_padded_fwd(q, k, v, block_q, block_k, scale, interpret):
+    o, lse = _fwd_call(q, k, v, block_q, block_k, scale, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_padded_bwd(block_q, block_k, scale, interpret, res, do):
+    q, k, v, o, lse = res
+    bh, n, dp = q.shape
+    # delta_i = sum_d dO_id * O_id (rowwise) — cheap elementwise, XLA fuses it
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
+        grid=(bh, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, n, dp), q.dtype),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, scale=scale),
+        grid=(bh, n // block_k),
+        in_specs=[
+            pl.BlockSpec((1, n, dp), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dp), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, dp), k.dtype),
+            jax.ShapeDtypeStruct((bh, n, dp), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, do, lse, delta, k, v)
+    return dq, dk, dv
+
+
+_flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
+    """q,k,v: (BH, N, D) -> (BH, N, D)."""
+    bh, n, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    qp, kp, vp = _pad_lane(q), _pad_lane(k), _pad_lane(v)
+    out = _flash_padded(qp, kp, vp, block_q, block_k, scale, interpret)
     return out[:, :, :d]
 
 

@@ -51,6 +51,17 @@ def _val_samples(dataset, n: int) -> List[Tuple[np.ndarray, np.ndarray]]:
     return [dataset[i] for i in range(min(n, len(dataset)))]
 
 
+
+def _auto_flash(use_flash):
+    """Resolve the flash-attention flag: None = on for TPU-class backends
+    (the Pallas kernel, now differentiable), off on CPU (tests use interpret
+    mode explicitly via the ops tests)."""
+    if use_flash is None:
+        import jax as _jax
+
+        return _jax.default_backend() in ("tpu", "axon")
+    return use_flash
+
 def train_nafnet(
     dataset,
     model_cfg: config.NAFNetConfig = config.SERVE_NAFNET,
@@ -86,6 +97,7 @@ def train_diffusion(
     train_cfg: Optional[TrainConfig] = None,
     resume: Optional[str] = None,
     val_inference_steps: int = 15,  # DDIM:415
+    use_flash: Optional[bool] = None,
 ):
     from midd_tpu.diffusion import denoise, make_schedule
     from midd_tpu.models import UNetDiffusion
@@ -93,7 +105,7 @@ def train_diffusion(
     cfg = train_cfg or TrainConfig(
         epochs=30, batch_size=1, lr=2e-4, weight_decay=1e-4, ckpt_name="diffusion"
     )
-    model = UNetDiffusion(model_cfg)
+    model = UNetDiffusion(model_cfg, use_flash=_auto_flash(use_flash))
     schedule = make_schedule(schedule_cfg)
     sample = jnp.zeros((1, 64, 64, 1))
     t0 = jnp.zeros((1,), jnp.int32)
@@ -129,6 +141,7 @@ def train_cddpm(
     train_cfg: Optional[TrainConfig] = None,
     resume: Optional[str] = None,
     val_inference_steps: int = 15,
+    use_flash: Optional[bool] = None,
 ):
     """cDDPM variant trainer (cddpm/cddpmModels.py:321-468): the tracked-skip
     UNet, plain MSE epsilon loss (:372-374), ancestral validation sampling
@@ -140,7 +153,7 @@ def train_cddpm(
     cfg = train_cfg or TrainConfig(
         epochs=30, batch_size=1, lr=2e-4, weight_decay=1e-4, ckpt_name="cddpm"
     )
-    model = UNetDiffusion(model_cfg)
+    model = UNetDiffusion(model_cfg, use_flash=_auto_flash(use_flash))
     schedule = make_schedule(schedule_cfg)
     sample = jnp.zeros((1, 64, 64, 1))
     t0 = jnp.zeros((1,), jnp.int32)
@@ -219,6 +232,7 @@ def train_hybrid(
     hybrid_cfg: config.HybridConfig = config.HybridConfig(),
     train_cfg: Optional[TrainConfig] = None,
     resume: Optional[str] = None,
+    use_flash: Optional[bool] = None,
 ):
     """Frozen-backend hybrid training (hybrid3diffusionspeed.py:631-876):
     only router+fusion receive gradients; backends come from the given
@@ -237,7 +251,7 @@ def train_hybrid(
         eta_min_factor=0.02, patience=20, ckpt_name="hybrid",
     )
     naf = EnhancedNAFNet(hybrid_cfg.nafnet)
-    unet = UNetDiffusion(hybrid_cfg.diffusion)
+    unet = UNetDiffusion(hybrid_cfg.diffusion, use_flash=_auto_flash(use_flash))
     router = NoiseAnalyzer(hybrid_cfg.router)
     fusion = FusionModule(hybrid_cfg.fusion)
     schedule = make_schedule(hybrid_cfg.schedule)
