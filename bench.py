@@ -42,6 +42,12 @@ def main():
     from midd_tpu import config
     from midd_tpu.diffusion import denoise, make_schedule
     from midd_tpu.models import UNetDiffusion
+    from midd_tpu.utils.compile_cache import enable_persistent_cache
+
+    # second and later runs load executables from disk instead of paying the
+    # 4-minute first compile over the TPU tunnel
+    cache_dir = enable_persistent_cache()
+    log(f"compilation cache: {cache_dir}")
 
     size = 256
     steps = 50

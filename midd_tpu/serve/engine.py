@@ -85,6 +85,11 @@ class EngineConfig:
     # a separate, quality-unvalidated opt-in.
     turbo_eps_reuse: int = 1
     hybrid_turbo_eps_reuse: int = 1
+    # persistent XLA compilation cache: warm process starts load executables
+    # from disk instead of recompiling (round-1 cost: ~19 min cold warmup at
+    # 512² with batching over the TPU tunnel)
+    persistent_cache: bool = True
+    cache_dir: Optional[str] = None
 
 
 class InferenceEngine:
@@ -99,6 +104,10 @@ class InferenceEngine:
                 use_flash_attention=jax.default_backend() in ("tpu", "axon"),
             )
         self.cfg = cfg
+        if cfg.persistent_cache:
+            from midd_tpu.utils.compile_cache import enable_persistent_cache
+
+            enable_persistent_cache(cfg.cache_dir)
         self._pth_cache: Dict[str, Dict] = {}
         self.loaded: Dict[str, bool] = {n: False for n in MODEL_NAMES}
         self.fns: Dict[str, Callable] = {}

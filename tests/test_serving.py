@@ -131,6 +131,15 @@ def test_ui_page(server):
     html = resp.read().decode()
     assert resp.status == 200
     assert "X-Ray Denoising" in html and "/denoise" in html
+    # ImageComparison.jsx feature set (VERDICT round-1 item 8): interactive
+    # before/after slider, per-model PSNR badges, download-all, about section,
+    # per-model download/preview actions, loading spinners
+    assert 'id="cmp-slider"' in html and 'type="range"' in html
+    assert "clipPath" in html  # the slider actually drives the overlay
+    assert "psnr-badge" in html and "psnrVsOriginal" in html
+    assert 'id="download-all"' in html
+    assert 'id="about"' in html and "Hybrid router" in html
+    assert "preview" in html and "spinner" in html
 
 
 def test_concurrent_requests_consistent(server):
