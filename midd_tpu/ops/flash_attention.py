@@ -39,9 +39,13 @@ LANE = 128
 
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: float
-):
-    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, Dp)
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: float, block_q: int
+):  # noqa: D401
+    # MXU operands stay in the INPUT dtype (bf16 from the bf16 serving model
+    # runs the systolic array at full rate; fp32 decomposes into multiple
+    # passes); softmax statistics and accumulation are always fp32.
+    q = q_ref[0]  # (BQ, Dp), native dtype
+    mmd = q.dtype
     n = k_ref.shape[1]
     block_q, dp = q.shape
 
@@ -51,19 +55,24 @@ def _flash_fwd_kernel(
 
     def body(j, carry):
         m, l, acc = carry
-        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = scale * jnp.dot(q, kb.T, preferred_element_type=jnp.float32)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, vb, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(
+            p.astype(mmd), vb, preferred_element_type=jnp.float32
+        )
         return m_new, l, acc
 
     m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m, l, acc))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0, :] = (m + jnp.log(l))[:, 0]
+    # lse lives as (bh, 1, n) with a FULL-n block revisited across q-block
+    # grid steps (TPU tiling: a (1, block_q) block over (bh, n) is illegal)
+    i = pl.program_id(1)
+    lse_ref[0, 0, pl.ds(i * block_q, block_q)] = (m + jnp.log(l))[:, 0]
 
 
 def _flash_bwd_dq_kernel(
@@ -71,20 +80,22 @@ def _flash_bwd_dq_kernel(
 ):
     """dq for one q block: stream K/V blocks, recompute p from the saved
     logsumexp (no rescaling pass needed), ds = p * (dO v^T - delta)."""
-    q = q_ref[0].astype(jnp.float32)  # (BQ, Dp)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, :][:, None]  # (BQ, 1)
-    delta = delta_ref[0, :][:, None]
+    q = q_ref[0]  # (BQ, Dp), native dtype (see fwd kernel note)
+    do = do_ref[0]
+    mmd = q.dtype
     n = k_ref.shape[1]
     block_q, dp = q.shape
+    i = pl.program_id(1)
+    lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]  # (BQ, 1)
+    delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
 
     def body(j, acc):
-        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = scale * jnp.dot(q, kb.T, preferred_element_type=jnp.float32)
         p = jnp.exp(s - lse)  # exact softmax probs for this block
         dpij = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
-        ds = p * (dpij - delta)
+        ds = (p * (dpij - delta)).astype(mmd)
         return acc + jnp.dot(ds, kb, preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, n // block_k, body, jnp.zeros((block_q, dp), jnp.float32))
@@ -97,22 +108,23 @@ def _flash_bwd_dkv_kernel(
 ):
     """dk, dv for one k block: stream Q/dO blocks; dv = p^T dO,
     dk = scale * ds^T q."""
-    kb = k_ref[0].astype(jnp.float32)  # (BK, Dp)
-    vb = v_ref[0].astype(jnp.float32)
+    kb = k_ref[0]  # (BK, Dp), native dtype (see fwd kernel note)
+    vb = v_ref[0]
+    mmd = kb.dtype
     n = q_ref.shape[1]
     block_k, dp = kb.shape
 
     def body(i, carry):
         dk, dv = carry
-        qb = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        dob = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        qb = q_ref[0, pl.ds(i * block_q, block_q), :]
+        dob = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         s = scale * jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)
         p = jnp.exp(s - lse)  # (BQ, BK)
-        dv = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32)
+        dv = dv + jnp.dot(p.T.astype(mmd), dob, preferred_element_type=jnp.float32)
         dpij = jnp.dot(dob, vb.T, preferred_element_type=jnp.float32)
-        ds = p * (dpij - delta)
+        ds = (p * (dpij - delta)).astype(mmd)
         dk = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32)
         return dk, dv
 
@@ -133,7 +145,7 @@ def _pad_lane(x: jnp.ndarray) -> jnp.ndarray:
 def _fwd_call(q, k, v, block_q: int, block_k: int, scale: float, interpret: bool):
     bh, n, dp = q.shape
     return pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, block_k=block_k, scale=scale),
+        functools.partial(_flash_fwd_kernel, block_k=block_k, scale=scale, block_q=block_q),
         grid=(bh, n // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -142,11 +154,11 @@ def _fwd_call(q, k, v, block_q: int, block_k: int, scale: float, interpret: bool
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, dp), q.dtype),
-            jax.ShapeDtypeStruct((bh, n), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, n), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -172,7 +184,9 @@ def _flash_padded_bwd(block_q, block_k, scale, interpret, res, do):
     q, k, v, o, lse = res
     bh, n, dp = q.shape
     # delta_i = sum_d dO_id * O_id (rowwise) — cheap elementwise, XLA fuses it
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)[
+        :, None, :
+    ]  # (bh, 1, n): matches the lse layout the kernels expect
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
@@ -182,8 +196,8 @@ def _flash_padded_bwd(block_q, block_k, scale, interpret, res, do):
             pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -198,8 +212,8 @@ def _flash_padded_bwd(block_q, block_k, scale, interpret, res, do):
         in_specs=[
             pl.BlockSpec((1, n, dp), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, dp), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],

@@ -172,15 +172,19 @@ def feature_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def hybrid_loss_expert(
-    pred: jnp.ndarray, target: jnp.ndarray, dead_grad_ssim: bool = False
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    dead_grad_ssim: bool = False,
+    perceptual_weight: float = 0.3,
 ) -> jnp.ndarray:
     """Expert trainer loss (DirectUNet:257-268): L1 + 0.3*perceptual +
-    0.4*(1-SSIM)."""
-    return (
-        l1(pred, target)
-        + 0.3 * feature_loss(pred, target)
-        + 0.4 * ssim_loss(pred, target, dead_grad=dead_grad_ssim)
-    )
+    0.4*(1-SSIM). ``perceptual_weight=0`` drops the feature term entirely —
+    the a/b arm of the random-feature-proxy validation (the VGG19 substitute
+    is only kept if it measurably helps on the quality benchmark)."""
+    out = l1(pred, target) + 0.4 * ssim_loss(pred, target, dead_grad=dead_grad_ssim)
+    if perceptual_weight:
+        out = out + perceptual_weight * feature_loss(pred, target)
+    return out
 
 
 def combined_loss_tiny(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

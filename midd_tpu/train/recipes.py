@@ -198,6 +198,7 @@ def train_expert(
     train_cfg: Optional[TrainConfig] = None,
     resume: Optional[str] = None,
     dead_grad_ssim: bool = False,
+    perceptual_weight: float = 0.3,
 ):
     from midd_tpu.models import ExpertDenoiser
 
@@ -209,7 +210,7 @@ def train_expert(
     sample = jnp.zeros((1, 64, 64, 1))
     variables = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), sample)
     trainer = Trainer(
-        loss_fn=expert_loss_fn(model, dead_grad_ssim=dead_grad_ssim),
+        loss_fn=expert_loss_fn(model, dead_grad_ssim=dead_grad_ssim, perceptual_weight=perceptual_weight),
         eval_fn=lambda p, extra, clean, noisy: model.apply(
             {"params": p, "batch_stats": extra["batch_stats"]}, noisy
         ),

@@ -139,7 +139,7 @@ def nafnet_loss_fn(model):
     return fn
 
 
-def expert_loss_fn(model, dead_grad_ssim: bool = False):
+def expert_loss_fn(model, dead_grad_ssim: bool = False, perceptual_weight: float = 0.3):
     def fn(params, batch, rng, batch_stats):
         clean, noisy = batch
         pred, mutated = model.apply(
@@ -149,7 +149,10 @@ def expert_loss_fn(model, dead_grad_ssim: bool = False):
             mutable=["batch_stats"],
         )
         pred = jnp.clip(pred, 0.0, 1.0)  # DirectUNet:339
-        loss = losses.hybrid_loss_expert(pred, clean, dead_grad_ssim=dead_grad_ssim)
+        loss = losses.hybrid_loss_expert(
+            pred, clean, dead_grad_ssim=dead_grad_ssim,
+            perceptual_weight=perceptual_weight,
+        )
         return loss, {"pred": pred, "batch_stats": mutated["batch_stats"]}
 
     return fn
