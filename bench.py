@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     ap.add_argument("--turbo", action="store_true",
                     help="also measure the eps-reuse accelerated rollout (stderr only)")
+    ap.add_argument("--int8", action="store_true",
+                    help="also measure the dynamic-int8 rollout (stderr only; "
+                         "quality-gated opt-in, see PARITY.md)")
     args = ap.parse_args()
 
     import jax
@@ -126,6 +129,29 @@ def main():
         _ = sum(float(jnp.sum(o)) for o in outs)
         dt_t = (time.time() - t) / 3
         log(f"turbo (eps_reuse=2) batch {batch}: {dt_t * 1000:.1f} ms -> {batch / dt_t:.2f} img/s")
+
+    if args.int8:
+        batch = best_batch
+        model_q = UNetDiffusion(config.SERVE_DIFFUSION, dtype=dtype,
+                                use_flash=use_flash, quant=True)
+        xs = [
+            jnp.asarray(
+                np.clip(rng.random((batch, size, size, 1)), 0, 1).astype(np.float32)
+            )
+            for _ in range(4)
+        ]
+
+        @jax.jit
+        def rollout_q(x):
+            eps = lambda a, c, t: model_q.apply(variables, a, c, t)
+            return denoise(eps, x, schedule, inference_steps=steps)
+
+        float(jnp.sum(rollout_q(xs[-1])))
+        t = time.time()
+        outs = [rollout_q(x) for x in xs[:3]]
+        _ = sum(float(jnp.sum(o)) for o in outs)
+        dt_q = (time.time() - t) / 3
+        log(f"int8 batch {batch}: {dt_q * 1000:.1f} ms -> {batch / dt_q:.2f} img/s")
 
     baseline = 0.914  # P100 reference, normalised (see module docstring)
     result = {

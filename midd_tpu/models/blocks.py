@@ -34,14 +34,30 @@ def tconv(
     use_bias: bool = True,
     name: Optional[str] = None,
     dtype: Optional[Dtype] = None,
-) -> nn.Conv:
+    quant: bool = False,
+):
     """``nn.Conv`` with torch-style explicit symmetric padding (default k//2).
 
     Explicit padding matters: XLA 'SAME' places asymmetric padding for stride-2
     kernels, which would silently shift the sampling grid vs torch's
     ``padding=1`` (e.g. the stride-2 3x3 downsamplers at DDIM/DDIMModel.py:195).
+
+    ``quant=True`` swaps in the dynamic-int8 ``QuantConv`` (identical params,
+    opt-in serving accelerator — midd_tpu.ops.qconv).
     """
     p = kernel // 2 if pad is None else pad
+    if quant:
+        from midd_tpu.ops.qconv import QuantConv
+
+        return QuantConv(
+            features,
+            (kernel, kernel),
+            strides=(stride, stride),
+            padding=((p, p), (p, p)),
+            use_bias=use_bias,
+            name=name,
+            dtype=dtype,
+        )
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -209,6 +225,7 @@ class ResidualBlock(nn.Module):
     out_c: int
     dropout: float = 0.0
     dtype: Optional[Dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -216,9 +233,10 @@ class ResidualBlock(nn.Module):
     ) -> jnp.ndarray:
         in_c = x.shape[-1]
         dt = self.dtype
+        q = self.quant
         h = GroupNorm32(name="block1_0")(x)
         h = nn.silu(h)
-        h = tconv(self.out_c, 3, name="block1_2", dtype=dt)(h)
+        h = tconv(self.out_c, 3, name="block1_2", dtype=dt, quant=q)(h)
 
         te = nn.Dense(self.out_c, name="time_mlp_1", dtype=dt)(nn.silu(t_emb))
         h = h + te[:, None, None, :].astype(h.dtype)
@@ -227,9 +245,9 @@ class ResidualBlock(nn.Module):
         h = nn.silu(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = tconv(self.out_c, 3, name="block2_3", dtype=dt)(h)
+        h = tconv(self.out_c, 3, name="block2_3", dtype=dt, quant=q)(h)
 
-        res = x if in_c == self.out_c else tconv(self.out_c, 1, name="res_conv", dtype=dt)(x)
+        res = x if in_c == self.out_c else tconv(self.out_c, 1, name="res_conv", dtype=dt, quant=q)(x)
         return h + res
 
 

@@ -86,6 +86,12 @@ class UNetDiffusion(nn.Module):
     cfg: DiffusionUNetConfig = DiffusionUNetConfig()
     use_flash: bool = False
     dtype: Optional[Any] = None
+    # opt-in dynamic-int8 convs (ops/qconv.py): quantizes the ResBlocks and
+    # stride-2 downsamplers — first conv, attention projections, upsamplers
+    # and the final eps projection stay full precision (quality practice).
+    # Param tree is IDENTICAL, so any checkpoint loads. Quality-gated, see
+    # PARITY.md / EngineConfig.quantize_int8.
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -115,20 +121,20 @@ class UNetDiffusion(nn.Module):
         for j, (kind, arg) in enumerate(downs_spec):
             name = f"downs_{j}"
             if kind == "res":
-                x = ResidualBlock(arg, cfg.dropout, name=name, dtype=dt)(
+                x = ResidualBlock(arg, cfg.dropout, name=name, dtype=dt, quant=self.quant)(
                     x, t_emb, deterministic
                 )
             elif kind == "attn":
                 x = AttentionBlock(name=name, use_flash=self.use_flash, dtype=dt)(x)
             else:
-                x = tconv(arg, 3, stride=2, name=name, dtype=dt)(x)
+                x = tconv(arg, 3, stride=2, name=name, dtype=dt, quant=self.quant)(x)
             skips.append(x)
 
-        x = ResidualBlock(x.shape[-1], cfg.dropout, name="mid_block1", dtype=dt)(
+        x = ResidualBlock(x.shape[-1], cfg.dropout, name="mid_block1", dtype=dt, quant=self.quant)(
             x, t_emb, deterministic
         )
         x = AttentionBlock(name="mid_attn", use_flash=self.use_flash, dtype=dt)(x)
-        x = ResidualBlock(x.shape[-1], cfg.dropout, name="mid_block2", dtype=dt)(
+        x = ResidualBlock(x.shape[-1], cfg.dropout, name="mid_block2", dtype=dt, quant=self.quant)(
             x, t_emb, deterministic
         )
 
@@ -138,7 +144,7 @@ class UNetDiffusion(nn.Module):
                 skip = skips.pop()
                 x = resize_bilinear(x, skip.shape[1:3])
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResidualBlock(arg, cfg.dropout, name=name, dtype=dt)(
+                x = ResidualBlock(arg, cfg.dropout, name=name, dtype=dt, quant=self.quant)(
                     x, t_emb, deterministic
                 )
             elif kind == "attn":

@@ -90,6 +90,10 @@ class EngineConfig:
     # 512² with batching over the TPU tunnel)
     persistent_cache: bool = True
     cache_dir: Optional[str] = None
+    # opt-in dynamic-int8 convs inside the diffusion UNets (standalone +
+    # hybrid backend). ~int8-MXU-rate conv speedup; NOT exact — gated on the
+    # xraybench-v1 ground-truth benchmark (PARITY.md).
+    quantize_int8: bool = False
 
 
 class InferenceEngine:
@@ -237,7 +241,7 @@ class InferenceEngine:
             self.mesh = make_mesh(tp=tp)
 
         # Diffusion path (standalone)
-        unet = UNetDiffusion(cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
+        unet = UNetDiffusion(cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt, quant=cfg.quantize_int8)
         v_diff = self._shard(self._variables_for("diffusion", unet, x0, x0, t0))
         noise_steps = int(
             self.meta["diffusion"].get("noise_steps", schedule.noise_steps)
@@ -298,7 +302,7 @@ class InferenceEngine:
 
         router = NoiseAnalyzer(cfg.router_cfg, dtype=dt)
         fusion = FusionModule(cfg.fusion_cfg, dtype=dt)
-        hyb_unet = UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
+        hyb_unet = UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt, quant=cfg.quantize_int8)
         hyb_naf = EnhancedNAFNet(hyb_naf_cfg, dtype=dt)
         v_h = self._shard(self._variables_for_hybrid(hyb_naf, hyb_unet, router, fusion, x0, t0))
         if "nafnet" not in v_h:
