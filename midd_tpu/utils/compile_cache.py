@@ -62,7 +62,11 @@ def save_executable(compiled, path: str) -> None:
 
 
 def load_executable(path: str, in_tree_example=None):
-    """Load a serialized executable; returns the compiled callable."""
+    """Load a serialized executable; returns the compiled callable.
+
+    Caveat: deserialization targets the loading process's FULL addressable
+    device set — serialize executables compiled for the same topology you
+    will load on (single chip for serving; replicated-over-mesh for tests)."""
     import pickle
 
     from jax.experimental import serialize_executable
