@@ -78,13 +78,14 @@ class EngineConfig:
     # tp axis size; None = all devices when tensor_parallel alone (so batch-1
     # requests work: dp=1), else the (4,2,1) mesh policy when composed with dp.
     tp_size: Optional[int] = None
-    # opt-in accelerated sampling: recompute epsilon every k-th step and reuse
-    # in between (FORA-style; measured 1.76x at k=2 with 47.5 dB vs exact on
-    # the STANDALONE diffusion rollout). Applies to the standalone path only;
-    # the hybrid's fusion was trained on exact rollouts, so accelerating it is
-    # a separate, quality-unvalidated opt-in.
+    # accelerated sampling: recompute epsilon every k-th step and reuse in
+    # between (FORA-style). GROUND-TRUTH-GATED on xraybench-v1 with fully
+    # trained checkpoints (PARITY.md frontier table): hybrid k=2 costs
+    # -0.08 dB for 1.47x (k=3 measured quality-EQUAL at 1.94x); standalone
+    # diffusion k=2 costs -0.70 dB. Served defaults: hybrid k=2 (quality-free
+    # within noise), standalone exact (its deltas are visible).
     turbo_eps_reuse: int = 1
-    hybrid_turbo_eps_reuse: int = 1
+    hybrid_turbo_eps_reuse: int = 2
     # persistent XLA compilation cache: warm process starts load executables
     # from disk instead of recompiling (round-1 cost: ~19 min cold warmup at
     # 512² with batching over the TPU tunnel)

@@ -141,10 +141,11 @@ if __name__ == "__main__":
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--turbo", type=int, default=1,
                     help="eps-reuse factor for the STANDALONE diffusion rollout "
-                         "(1 = exact; quality vs exact measured in PARITY.md)")
-    ap.add_argument("--turbo-hybrid", type=int, default=1,
-                    help="eps-reuse inside the hybrid path (quality-unvalidated; "
-                         "the fusion was trained on exact rollouts)")
+                         "(1 = exact; ground-truth frontier in PARITY.md)")
+    ap.add_argument("--turbo-hybrid", type=int, default=2,
+                    help="eps-reuse inside the hybrid path (default 2: -0.08 dB "
+                         "for 1.47x on the xraybench ground-truth gate; 1 = exact; "
+                         "3 measured quality-equal at 1.94x)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
