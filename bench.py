@@ -131,19 +131,31 @@ def main():
         log(f"turbo (eps_reuse=2) batch {batch}: {dt_t * 1000:.1f} ms -> {batch / dt_t:.2f} img/s")
 
     if args.int8:
+        from midd_tpu.ops.qconv import calibrate_unet_rollout
+
         batch = best_batch
-        model_q = UNetDiffusion(config.SERVE_DIFFUSION, dtype=dtype,
-                                use_flash=use_flash, quant=True)
         xs = [
             jnp.asarray(
                 np.clip(rng.random((batch, size, size, 1)), 0, 1).astype(np.float32)
             )
             for _ in range(4)
         ]
+        # static-int8: calibrate activation scales on one rollout, then serve
+        # with frozen scales (no per-call reductions — see ops/qconv.py)
+        model_cal = UNetDiffusion(config.SERVE_DIFFUSION, use_flash=use_flash,
+                                  quant="calibrate")
+        t = time.time()
+        qs = calibrate_unet_rollout(
+            model_cal, variables, schedule, [xs[-1]], inference_steps=steps
+        )
+        log(f"int8 calibration: {time.time() - t:.1f}s")
+        model_q = UNetDiffusion(config.SERVE_DIFFUSION, dtype=dtype,
+                                use_flash=use_flash, quant="static")
+        v_q = {**variables, "qscales": qs}
 
         @jax.jit
         def rollout_q(x):
-            eps = lambda a, c, t: model_q.apply(variables, a, c, t)
+            eps = lambda a, c, t: model_q.apply(v_q, a, c, t)
             return denoise(eps, x, schedule, inference_steps=steps)
 
         float(jnp.sum(rollout_q(xs[-1])))
@@ -151,7 +163,7 @@ def main():
         outs = [rollout_q(x) for x in xs[:3]]
         _ = sum(float(jnp.sum(o)) for o in outs)
         dt_q = (time.time() - t) / 3
-        log(f"int8 batch {batch}: {dt_q * 1000:.1f} ms -> {batch / dt_q:.2f} img/s")
+        log(f"int8-static batch {batch}: {dt_q * 1000:.1f} ms -> {batch / dt_q:.2f} img/s")
 
     baseline = 0.914  # P100 reference, normalised (see module docstring)
     result = {

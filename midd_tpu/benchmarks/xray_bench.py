@@ -316,6 +316,9 @@ def main():
     ap.add_argument("--epochs-scale", type=float, default=1.0)
     ap.add_argument("--width-preset", choices=("serve", "tiny"), default="serve")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the diffusion UNets with static-calibrated "
+                         "int8 convs (the quality gate for that path)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -334,6 +337,8 @@ def main():
         warmup=False,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
+    if args.int8:
+        kw["quantize_int8"] = "static"
     if args.turbo_gate:
         results = turbo_gate(kw, eval_set)
     else:

@@ -34,7 +34,7 @@ def tconv(
     use_bias: bool = True,
     name: Optional[str] = None,
     dtype: Optional[Dtype] = None,
-    quant: bool = False,
+    quant: Any = False,
 ):
     """``nn.Conv`` with torch-style explicit symmetric padding (default k//2).
 
@@ -42,12 +42,13 @@ def tconv(
     kernels, which would silently shift the sampling grid vs torch's
     ``padding=1`` (e.g. the stride-2 3x3 downsamplers at DDIM/DDIMModel.py:195).
 
-    ``quant=True`` swaps in the dynamic-int8 ``QuantConv`` (identical params,
-    opt-in serving accelerator — midd_tpu.ops.qconv).
+    ``quant`` swaps in the int8 ``QuantConv`` (identical params, opt-in
+    serving accelerator — midd_tpu.ops.qconv): ``True``/"dynamic" for per-call
+    activation scales, "calibrate"/"static" for the calibrated-scale path.
     """
     p = kernel // 2 if pad is None else pad
     if quant:
-        from midd_tpu.ops.qconv import QuantConv
+        from midd_tpu.ops.qconv import QuantConv, quant_mode
 
         return QuantConv(
             features,
@@ -57,6 +58,7 @@ def tconv(
             use_bias=use_bias,
             name=name,
             dtype=dtype,
+            mode=quant_mode(quant),
         )
     return nn.Conv(
         features,
@@ -225,7 +227,7 @@ class ResidualBlock(nn.Module):
     out_c: int
     dropout: float = 0.0
     dtype: Optional[Dtype] = None
-    quant: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(

@@ -86,12 +86,14 @@ class UNetDiffusion(nn.Module):
     cfg: DiffusionUNetConfig = DiffusionUNetConfig()
     use_flash: bool = False
     dtype: Optional[Any] = None
-    # opt-in dynamic-int8 convs (ops/qconv.py): quantizes the ResBlocks and
+    # opt-in int8 convs (ops/qconv.py): quantizes the ResBlocks and
     # stride-2 downsamplers — first conv, attention projections, upsamplers
     # and the final eps projection stay full precision (quality practice).
-    # Param tree is IDENTICAL, so any checkpoint loads. Quality-gated, see
-    # PARITY.md / EngineConfig.quantize_int8.
-    quant: bool = False
+    # Param tree is IDENTICAL, so any checkpoint loads. Values: False,
+    # True/"dynamic" (per-call scales), "calibrate"/"static" (calibrated
+    # scales — the fast path). Quality-gated, see PARITY.md /
+    # EngineConfig.quantize_int8.
+    quant: Any = False
 
     @nn.compact
     def __call__(

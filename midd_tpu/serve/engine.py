@@ -91,10 +91,15 @@ class EngineConfig:
     # 512² with batching over the TPU tunnel)
     persistent_cache: bool = True
     cache_dir: Optional[str] = None
-    # opt-in dynamic-int8 convs inside the diffusion UNets (standalone +
-    # hybrid backend). ~int8-MXU-rate conv speedup; NOT exact — gated on the
-    # xraybench-v1 ground-truth benchmark (PARITY.md).
-    quantize_int8: bool = False
+    # opt-in int8 convs inside the diffusion UNets (standalone + hybrid
+    # backend). NOT exact — gated on the xraybench-v1 ground-truth benchmark
+    # (PARITY.md). Values:
+    #   "static" — calibrated activation scales (a short calibration rollout
+    #     over the three noise families runs once at startup); the fast path:
+    #     no per-call reductions, quantize fuses into each producer.
+    #   True / "dynamic" — per-call abs-max scales (no calibration, but each
+    #     conv pays a full-tensor reduction; measured SLOWER end-to-end).
+    quantize_int8: Any = False
 
 
 class InferenceEngine:
@@ -218,6 +223,37 @@ class InferenceEngine:
             dec_blk_nums=tuple(meta.get("dec_blk_nums", (2, 2, 2, 2))),
         )
 
+    # -- int8 calibration ----------------------------------------------------
+
+    def _calibrate_unet(self, unet_cfg, variables, schedule, steps: int):
+        """Record per-conv activation abs-max over representative rollouts
+        (2 procedural phantoms x the three reference noise families,
+        cddpm/cddpmTrain.py:3) for the static-int8 serving path. Runs in fp32
+        so the recorded ranges are exact; returns the ``qscales`` tree."""
+        from midd_tpu.benchmarks.xray_bench import make_phantoms
+        from midd_tpu.ops.qconv import calibrate_unet_rollout
+        from midd_tpu.train.data import NOISE_FNS
+
+        s = self.cfg.img_size
+        cal = UNetDiffusion(
+            unet_cfg, use_flash=self.cfg.use_flash_attention, quant="calibrate"
+        )
+        clean = make_phantoms(2, s, seed=123)
+        rng = np.random.default_rng(0)
+        batches = [
+            np.stack(
+                [np.clip(fn(c, rng), 0.0, 1.0) for c in clean]
+            ).astype(np.float32)
+            for fn in NOISE_FNS.values()
+        ]
+        t = time.time()
+        qs = calibrate_unet_rollout(
+            cal, {"params": variables["params"]}, schedule, batches, steps
+        )
+        print(f"[engine] int8 calibration ({steps} steps x "
+              f"{len(batches)} batches) in {time.time() - t:.1f}s")
+        return qs
+
     # -- graph construction --------------------------------------------------
 
     def _build(self):
@@ -241,9 +277,25 @@ class InferenceEngine:
                 tp = 1
             self.mesh = make_mesh(tp=tp)
 
-        # Diffusion path (standalone)
-        unet = UNetDiffusion(cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt, quant=cfg.quantize_int8)
-        v_diff = self._shard(self._variables_for("diffusion", unet, x0, x0, t0))
+        # int8 mode: False | "dynamic" | "static" (see EngineConfig)
+        qmode = (
+            "static"
+            if cfg.quantize_int8 == "static"
+            else ("dynamic" if cfg.quantize_int8 else False)
+        )
+
+        # Diffusion path (standalone). Checkpoint loading/init always goes
+        # through the plain model (identical param tree; the static-quant
+        # model cannot run before calibration).
+        unet_plain = UNetDiffusion(
+            cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt
+        )
+        unet = (
+            UNetDiffusion(cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt, quant=qmode)
+            if qmode
+            else unet_plain
+        )
+        v_diff_raw = self._variables_for("diffusion", unet_plain, x0, x0, t0)
         noise_steps = int(
             self.meta["diffusion"].get("noise_steps", schedule.noise_steps)
         )
@@ -251,6 +303,14 @@ class InferenceEngine:
             schedule = make_schedule(
                 config.ScheduleConfig(noise_steps=noise_steps)
             )
+        if qmode == "static":
+            v_diff_raw = {
+                **v_diff_raw,
+                "qscales": self._calibrate_unet(
+                    cfg.diffusion_cfg, v_diff_raw, schedule, cfg.diffusion_steps
+                ),
+            }
+        v_diff = self._shard(v_diff_raw)
 
         def diffusion_fn(x):
             eps = lambda a, c, t: unet.apply(v_diff, a, c, t)
@@ -303,26 +363,52 @@ class InferenceEngine:
 
         router = NoiseAnalyzer(cfg.router_cfg, dtype=dt)
         fusion = FusionModule(cfg.fusion_cfg, dtype=dt)
-        hyb_unet = UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt, quant=cfg.quantize_int8)
+        hyb_unet_plain = UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
+        hyb_unet = (
+            UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt, quant=qmode)
+            if qmode
+            else hyb_unet_plain
+        )
         hyb_naf = EnhancedNAFNet(hyb_naf_cfg, dtype=dt)
-        v_h = self._shard(self._variables_for_hybrid(hyb_naf, hyb_unet, router, fusion, x0, t0))
-        if "nafnet" not in v_h:
+        v_h_raw = self._variables_for_hybrid(hyb_naf, hyb_unet_plain, router, fusion, x0, t0)
+        fell_back = "nafnet" not in v_h_raw
+        if fell_back:
             # Trainer-saved hybrid checkpoints hold only the trainable
             # router+fusion groups (the backends were frozen externals,
             # hybrid3diffusionspeed.py:669); fall back to the standalone
             # paths' models and weights for the backends.
             hyb_naf, hyb_unet, hschedule = naf, unet, schedule
+        if qmode == "static":
+            if fell_back and cfg.hybrid_diffusion_steps == cfg.diffusion_steps:
+                # identical weights + rollout trajectory: reuse the scales
+                qs_h = v_diff_raw["qscales"]
+            else:
+                src_params = (
+                    v_diff_raw["params"] if fell_back else v_h_raw["diffusion_unet"]
+                )
+                qs_h = self._calibrate_unet(
+                    cfg.diffusion_cfg if fell_back else hyb_unet_cfg,
+                    {"params": src_params},
+                    hschedule,
+                    cfg.hybrid_diffusion_steps,
+                )
+            v_h_raw = {**v_h_raw, "diffusion_qscales": qs_h}
+        v_h = self._shard(v_h_raw)
+        if fell_back:
             v_h = {
                 "nafnet": v_naf["params"],
                 "diffusion_unet": v_diff["params"],
                 **v_h,
             }
+        hv_unet = {"params": v_h["diffusion_unet"]}
+        if "diffusion_qscales" in v_h:
+            hv_unet["qscales"] = v_h["diffusion_qscales"]
 
         def hybrid_fn(x):
             out = hybrid_forward(
                 lambda a: hyb_naf.apply({"params": v_h["nafnet"]}, a),
                 lambda a: denoise(
-                    lambda b, c, t: hyb_unet.apply({"params": v_h["diffusion_unet"]}, b, c, t),
+                    lambda b, c, t: hyb_unet.apply(hv_unet, b, c, t),
                     a,
                     hschedule,
                     cfg.hybrid_diffusion_steps,

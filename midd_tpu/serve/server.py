@@ -146,6 +146,9 @@ if __name__ == "__main__":
                     help="eps-reuse inside the hybrid path (default 2: -0.08 dB "
                          "for 1.47x on the xraybench ground-truth gate; 1 = exact; "
                          "3 measured quality-equal at 1.94x)")
+    ap.add_argument("--int8", action="store_true",
+                    help="static-calibrated int8 convs in the diffusion UNets "
+                         "(opt-in; quality-gated on xraybench — PARITY.md)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -156,5 +159,6 @@ if __name__ == "__main__":
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         turbo_eps_reuse=args.turbo,
         hybrid_turbo_eps_reuse=args.turbo_hybrid,
+        quantize_int8="static" if args.int8 else False,
     )
     serve_forever(args.host, args.port, engine_config=cfg)
