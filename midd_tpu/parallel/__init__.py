@@ -1,6 +1,7 @@
 from midd_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     count_tp_sharded,
+    image_sharding,
     make_mesh,
     param_shardings,
     replicated,

@@ -2,15 +2,22 @@
 
 The reference has NO distributed anything (SURVEY section 2.5): one CUDA
 device, thread-level request parallelism. This module is the TPU-native
-scale-out layer it lacks: a (dp, tp) ``jax.sharding.Mesh`` over ICI,
-NamedSharding rules for batches and parameters, and helpers that let XLA
-insert the collectives (psum for data-parallel gradients, all-gather for
-tensor-sharded conv kernels).
+scale-out layer it lacks: a (dp, sp, tp) ``jax.sharding.Mesh`` over ICI,
+NamedSharding rules for batches, images and parameters, and helpers that let
+XLA insert the collectives (psum for data-parallel gradients, all-gather for
+tensor-sharded conv kernels, halo exchanges for spatially sharded convs).
+
+Axes:
+- dp: batch data parallelism (throughput);
+- sp: SPATIAL parallelism — the image H axis is sharded, GSPMD inserts the
+  conv halo exchanges; the latency lever for batch-1 requests, where dp
+  cannot help (default size 1);
+- tp: tensor parallelism over conv output channels.
 
 Mesh policy: tp is the largest of (4, 2, 1) dividing the device count whose
 size divides the model's channel widths (48-multiples for the diffusion UNet,
 32-multiples for NAFNet — both divide by 4); dp gets the rest. On a single
-host v5e slice both axes ride ICI.
+host v5e slice all axes ride ICI.
 """
 
 from __future__ import annotations
@@ -25,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     n_devices: Optional[int] = None,
     tp: Optional[int] = None,
+    sp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
@@ -33,17 +41,25 @@ def make_mesh(
     if tp is None:
         tp = 1
         for cand in (4, 2):
-            if n % cand == 0:
+            if (n // sp) % cand == 0:
                 tp = cand
                 break
-    dp = n // tp
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+    dp = n // (sp * tp)
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading batch axis over dp, replicate over tp."""
+    """Shard the leading batch axis over dp, replicate over sp/tp."""
     return NamedSharding(mesh, P("dp"))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC layout for spatial parallelism: batch over dp, image ROWS (H)
+    over sp. GSPMD partitions every conv spatially and inserts the halo
+    exchanges; interior ops stay local. This is how a single large image
+    uses the whole slice (batch-1 latency — dp can't help there)."""
+    return NamedSharding(mesh, P("dp", "sp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

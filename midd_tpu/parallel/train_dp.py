@@ -1,9 +1,10 @@
-"""Sharded training step: data-parallel batches + tensor-parallel conv
-kernels over a (dp, tp) mesh.
+"""Sharded training step: data-parallel batches, spatially sharded images,
+and tensor-parallel conv kernels over a (dp, sp, tp) mesh.
 
 The train step itself is the single-device one from midd_tpu.train.trainer;
 sharding is imposed purely through in/out shardings on ``jax.jit`` — XLA
-inserts the psum for dp gradient reduction and the tp all-gathers/partials.
+inserts the psum for dp gradient reduction, the halo exchanges around
+spatially sharded convs, and the tp all-gathers/partials.
 No NCCL-style code exists anywhere (the reference has none either; this is
 the scale-out layer it lacks, SURVEY section 2.5).
 """
@@ -19,6 +20,7 @@ import optax
 
 from midd_tpu.parallel.mesh import (
     batch_sharding,
+    image_sharding,
     param_shardings,
     replicated,
 )
@@ -34,10 +36,11 @@ def make_sharded_train_step(
     """Returns (step_fn, sharded_params, sharded_opt_state).
 
     ``step_fn(params, opt_state, batch, rng) -> (params, opt_state, loss)``
-    with batch sharded over dp and params/optimizer state sharded per
-    ``param_shardings``. ``min_size`` is the tensor-parallel threshold:
-    kernels with at least this many elements get their output-channel axis
-    sharded over tp (lower it for small test configs so tp does real work).
+    with batch sharded over dp (and image rows over sp when the mesh has an
+    sp axis > 1) and params/optimizer state sharded per ``param_shardings``.
+    ``min_size`` is the tensor-parallel threshold: kernels with at least this
+    many elements get their output-channel axis sharded over tp (lower it for
+    small test configs so tp does real work).
     """
     p_shard = param_shardings(params, mesh, min_size=min_size)
     params = jax.device_put(params, p_shard)
@@ -45,7 +48,9 @@ def make_sharded_train_step(
         tx.init, out_shardings=None
     )(params)  # opt state inherits layouts from params via XLA
 
-    b_shard = batch_sharding(mesh)
+    b_shard = (
+        image_sharding(mesh) if mesh.shape.get("sp", 1) > 1 else batch_sharding(mesh)
+    )
     r_shard = replicated(mesh)
 
     def step(params, opt_state, batch, rng):

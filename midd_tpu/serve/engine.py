@@ -78,6 +78,12 @@ class EngineConfig:
     # tp axis size; None = all devices when tensor_parallel alone (so batch-1
     # requests work: dp=1), else the (4,2,1) mesh policy when composed with dp.
     tp_size: Optional[int] = None
+    # spatial parallelism: the image H axis is sharded over the mesh's sp
+    # axis and GSPMD inserts the conv halo exchanges — the batch-1 LATENCY
+    # lever (dp needs batch >= devices; sp splits one image). Composes with
+    # dp/tp (set sp_size); alone it takes every device.
+    spatial_parallel: bool = False
+    sp_size: Optional[int] = None
     # accelerated sampling: recompute epsilon every k-th step and reuse in
     # between (FORA-style). GROUND-TRUTH-GATED on xraybench-v1 with fully
     # trained checkpoints (PARITY.md frontier table): hybrid k=2 costs
@@ -266,16 +272,46 @@ class InferenceEngine:
 
         self.mesh = None
         self.n_tp_sharded = 0
-        if (cfg.data_parallel or cfg.tensor_parallel) and len(jax.devices()) > 1:
+        if (
+            cfg.data_parallel or cfg.tensor_parallel or cfg.spatial_parallel
+        ) and len(jax.devices()) > 1:
             from midd_tpu.parallel import make_mesh
 
+            n = len(jax.devices())
+            sp = 1
+            if cfg.spatial_parallel:
+                # sp must not exceed the DEEPEST feature-map height or some
+                # shards are empty — measured to produce wrong results under
+                # GSPMD, not just waste. Depth from the static configs (the
+                # serve presets: NAFNet 4 downs, diffusion 3, expert 2).
+                n_downs = max(
+                    len(cfg.nafnet_cfg.enc_blk_nums),
+                    len(cfg.diffusion_cfg.channel_mult) - 1,
+                    2,
+                )
+                deepest = max(1, cfg.img_size >> n_downs)
+                sp = cfg.sp_size or (
+                    min(n, deepest)
+                    if not (cfg.data_parallel or cfg.tensor_parallel)
+                    else 2
+                )
+                if sp > deepest:
+                    raise ValueError(
+                        f"spatial_parallel sp={sp} exceeds the deepest "
+                        f"feature-map height {deepest} at img_size="
+                        f"{cfg.img_size}: some shards would be empty "
+                        f"(wrong results under GSPMD). Lower sp_size."
+                    )
             if cfg.tensor_parallel:
                 tp = cfg.tp_size
                 if tp is None and not cfg.data_parallel:
-                    tp = len(jax.devices())  # dp=1: single-image requests work
+                    tp = n // sp  # dp=1: single-image requests work
             else:
                 tp = 1
-            self.mesh = make_mesh(tp=tp)
+            # spatial/tensor-alone modes keep dp=1 (batch-1 requests) even if
+            # that leaves devices idle; data_parallel spreads over the rest.
+            n_use = n if cfg.data_parallel else sp * tp
+            self.mesh = make_mesh(n_devices=n_use, tp=tp, sp=sp)
 
         # int8 mode: False | "dynamic" | "static" (see EngineConfig)
         qmode = (
@@ -427,9 +463,13 @@ class InferenceEngine:
             "hybrid": hybrid_fn,
         }
         if self.mesh is not None:
-            from midd_tpu.parallel import batch_sharding
+            from midd_tpu.parallel import batch_sharding, image_sharding
 
-            bs = batch_sharding(self.mesh)
+            bs = (
+                image_sharding(self.mesh)
+                if cfg.spatial_parallel
+                else batch_sharding(self.mesh)
+            )
             self.fns = {
                 n: jax.jit(f, in_shardings=bs, out_shardings=bs)
                 for n, f in raw_fns.items()

@@ -24,11 +24,13 @@ TINY_NAF = config.NAFNetConfig(
 def test_make_mesh_shapes():
     assert len(jax.devices()) >= 8
     mesh = make_mesh(8)
-    assert mesh.shape == {"dp": 2, "tp": 4}
+    assert mesh.shape == {"dp": 2, "sp": 1, "tp": 4}
     mesh2 = make_mesh(8, tp=2)
-    assert mesh2.shape == {"dp": 4, "tp": 2}
+    assert mesh2.shape == {"dp": 4, "sp": 1, "tp": 2}
     mesh1 = make_mesh(1)
-    assert mesh1.shape == {"dp": 1, "tp": 1}
+    assert mesh1.shape == {"dp": 1, "sp": 1, "tp": 1}
+    mesh_sp = make_mesh(8, tp=1, sp=4)
+    assert mesh_sp.shape == {"dp": 2, "sp": 4, "tp": 1}
 
 
 def test_param_shardings_rules():
@@ -202,7 +204,7 @@ def test_tp_sharded_engine_matches_single_device():
         EngineConfig(tensor_parallel=True, tp_min_size=64, **kw)
     )
     # tensor_parallel alone -> tp over ALL devices, dp=1 (single-image serving)
-    assert tp.mesh is not None and tp.mesh.shape == {"dp": 1, "tp": 8}
+    assert tp.mesh is not None and tp.mesh.shape == {"dp": 1, "sp": 1, "tp": 8}
     # prove the engine's captured weights are genuinely tp-sharded
     assert tp.n_tp_sharded > 0
 
@@ -212,6 +214,83 @@ def test_tp_sharded_engine_matches_single_device():
         a = np.asarray(plain.fns[name](x))
         b = np.asarray(tp.fns[name](x))
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sp_engine_matches_single_device():
+    """Spatial parallelism must be REAL and exact: with the image H axis
+    sharded over sp, GSPMD's halo exchanges around every conv (and the
+    gathers around attention/resizes) must reproduce the single-device
+    outputs on all four paths — including batch 1, the latency case sp
+    exists for. sp auto-sizes to the deepest feature-map height (16² with
+    2 downs -> sp=4): oversharding past it leaves empty shards, which
+    produces WRONG results under GSPMD (measured), hence the engine guard."""
+    from midd_tpu import config as c
+    from midd_tpu.serve.engine import EngineConfig, InferenceEngine
+
+    kw = dict(
+        img_size=16,
+        diffusion_steps=2,
+        hybrid_diffusion_steps=2,
+        nafnet_cfg=c.NAFNetConfig(width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)),
+        diffusion_cfg=c.DiffusionUNetConfig(model_channels=8, channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(1,), time_emb_dim=16),
+        expert_cfg=c.ExpertConfig(base_channels=8),
+        router_cfg=c.RouterConfig(base_c=8),
+        fusion_cfg=c.FusionConfig(base_c=16),
+        schedule_cfg=c.ScheduleConfig(noise_steps=6),
+        ckpt_dir="/nonexistent",
+        warmup=False,
+    )
+    plain = InferenceEngine(EngineConfig(**kw))
+    sp = InferenceEngine(EngineConfig(spatial_parallel=True, **kw))
+    # spatial_parallel alone -> dp=1 (batch-1 serving), sp capped at the
+    # deepest feature-map height (16 >> 2 downs = 4), spare devices idle
+    assert sp.mesh is not None and sp.mesh.shape == {"dp": 1, "sp": 4, "tp": 1}
+
+    rng = np.random.default_rng(0)
+    for batch in (1, 2):
+        x = jnp.asarray(rng.random((batch, 16, 16, 1), dtype=np.float32))
+        for name in ("nafnet", "diffusion", "expert", "hybrid"):
+            a = np.asarray(plain.fns[name](x))
+            b = np.asarray(sp.fns[name](x))
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=f"{name} b{batch}")
+
+    # oversharding past the deepest feature map is refused, not silently wrong
+    import pytest
+
+    with pytest.raises(ValueError, match="deepest"):
+        InferenceEngine(EngineConfig(spatial_parallel=True, sp_size=8, **kw))
+
+
+def test_sp_composes_with_dp():
+    """dp x sp mesh: batch over dp AND rows over sp simultaneously."""
+    from midd_tpu import config as c
+    from midd_tpu.serve.engine import EngineConfig, InferenceEngine
+
+    kw = dict(
+        img_size=16,
+        diffusion_steps=2,
+        hybrid_diffusion_steps=2,
+        nafnet_cfg=c.NAFNetConfig(width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)),
+        diffusion_cfg=c.DiffusionUNetConfig(model_channels=8, channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(1,), time_emb_dim=16),
+        expert_cfg=c.ExpertConfig(base_channels=8),
+        router_cfg=c.RouterConfig(base_c=8),
+        fusion_cfg=c.FusionConfig(base_c=16),
+        schedule_cfg=c.ScheduleConfig(noise_steps=6),
+        ckpt_dir="/nonexistent",
+        warmup=False,
+    )
+    plain = InferenceEngine(EngineConfig(**kw))
+    eng = InferenceEngine(
+        EngineConfig(spatial_parallel=True, data_parallel=True, sp_size=4, **kw)
+    )
+    assert eng.mesh is not None and eng.mesh.shape == {"dp": 2, "sp": 4, "tp": 1}
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32))
+    for name in ("nafnet", "hybrid"):
+        a = np.asarray(plain.fns[name](x))
+        b = np.asarray(eng.fns[name](x))
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
 def test_dp_sharded_engine_matches_single_device():
