@@ -149,6 +149,14 @@ if __name__ == "__main__":
     ap.add_argument("--int8", action="store_true",
                     help="static-calibrated int8 convs in the diffusion UNets "
                          "(opt-in; quality-gated on xraybench — PARITY.md)")
+    ap.add_argument("--dp", action="store_true",
+                    help="data-parallel serving: batch sharded over devices")
+    ap.add_argument("--tp", action="store_true",
+                    help="tensor-parallel serving: large conv kernels sharded "
+                         "over devices (output channels)")
+    ap.add_argument("--sp", type=int, default=0, metavar="N",
+                    help="spatial-parallel serving: image rows sharded over N "
+                         "devices (batch-1 latency; 0 = off, -1 = auto)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -160,5 +168,9 @@ if __name__ == "__main__":
         turbo_eps_reuse=args.turbo,
         hybrid_turbo_eps_reuse=args.turbo_hybrid,
         quantize_int8="static" if args.int8 else False,
+        data_parallel=args.dp,
+        tensor_parallel=args.tp,
+        spatial_parallel=args.sp != 0,
+        sp_size=args.sp if args.sp > 0 else None,
     )
     serve_forever(args.host, args.port, engine_config=cfg)
