@@ -7,4 +7,11 @@ from midd_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_params,
 )
+from midd_tpu.parallel.multihost import (  # noqa: F401
+    host_local_batch_to_global,
+    init_distributed,
+    make_hybrid_mesh,
+    mesh_fabric_report,
+    process_batch_slice,
+)
 from midd_tpu.parallel.train_dp import make_sharded_train_step  # noqa: F401
