@@ -99,7 +99,8 @@ def main():
     )
     t0 = time.time()
     server = make_server("127.0.0.1", args.port, engine_config=cfg)
-    log(f"engine warm in {time.time() - t0:.1f}s (buckets {cfg.batch_buckets})")
+    buckets = server.RequestHandlerClass.engine.batcher.buckets if args.batching else None
+    log(f"engine warm in {time.time() - t0:.1f}s (buckets {buckets})")
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
     # Sequential baseline (p50 of 5 solo requests).
@@ -137,7 +138,7 @@ def main():
         "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
         "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
         "req_per_s": round(n / wall, 3),
-        "batch_buckets": list(cfg.batch_buckets),
+        "batch_buckets": buckets,
     }
     print(json.dumps(result))
     if args.out:

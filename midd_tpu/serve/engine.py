@@ -62,9 +62,15 @@ class EngineConfig:
     # dynamic micro-batching of concurrent requests (one compiled program per
     # bucket per model; see midd_tpu.serve.batching)
     batching: bool = False
-    # buckets reach 8: the measured throughput sweet spot (bench: batch-8
-    # rollouts ~4.4x cheaper/img than batch-1), so the queue can ride it
-    batch_buckets: Any = (1, 2, 4, 8)
+    # "auto" picks buckets by image size from TPU measurements
+    # (examples/serving_load_test.py, 8 concurrent clients, v5e-lite):
+    #   <=256²: (1,2,4,8) — batch-8 rollouts are ~4.4x cheaper/img than
+    #     batch-1 (bench.py scaling probe), so the queue rides the bucket;
+    #   512²+:  (1,)     — the chip saturates at batch 1; every coalescing
+    #     level measured WORSE (req/s: 2.55 @ (1,) > 1.84 @ (1,2) >
+    #     1.72 @ (1,2,4) > 1.39 @ (1,2,4,8)); the queue still wins 2.5x
+    #     over thread-concurrent dispatch (1.03) by serializing cleanly.
+    batch_buckets: Any = "auto"
     batch_max_wait_ms: float = 4.0
     # batch-sharded inference over a dp mesh (multi-chip serving; SURVEY
     # section 7 step 10). Buckets must be multiples of the dp size.
@@ -489,9 +495,12 @@ class InferenceEngine:
         if cfg.batching:
             from midd_tpu.serve.batching import MicroBatcher
 
+            buckets = cfg.batch_buckets
+            if buckets == "auto":
+                buckets = (1, 2, 4, 8) if cfg.img_size <= 256 else (1,)
             self.batcher = MicroBatcher(
                 self.fns,
-                buckets=tuple(cfg.batch_buckets),
+                buckets=tuple(buckets),
                 max_wait_ms=cfg.batch_max_wait_ms,
                 warmup_shape=(s, s, 1) if cfg.warmup else None,
             )

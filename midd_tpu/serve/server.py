@@ -157,6 +157,14 @@ if __name__ == "__main__":
     ap.add_argument("--sp", type=int, default=0, metavar="N",
                     help="spatial-parallel serving: image rows sharded over N "
                          "devices (batch-1 latency; 0 = off, -1 = auto)")
+    ap.add_argument("--batching", action="store_true",
+                    help="micro-batching queue: coalesce concurrent requests "
+                         "into size-bucketed device batches (2.5x measured "
+                         "req/s at 512² under 8 clients vs per-thread dispatch)")
+    ap.add_argument("--buckets", default=None, metavar="B1,B2,...",
+                    help="explicit batch buckets (default: auto by image size "
+                         "— (1,2,4,8) at <=256², (1,) at 512²; measured, see "
+                         "EngineConfig.batch_buckets)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -168,6 +176,11 @@ if __name__ == "__main__":
         turbo_eps_reuse=args.turbo,
         hybrid_turbo_eps_reuse=args.turbo_hybrid,
         quantize_int8="static" if args.int8 else False,
+        batching=args.batching,
+        batch_buckets=(
+            tuple(int(b) for b in args.buckets.split(",")) if args.buckets
+            else "auto"
+        ),
         data_parallel=args.dp,
         tensor_parallel=args.tp,
         spatial_parallel=args.sp != 0,

@@ -58,3 +58,36 @@ def test_batcher_isolates_model_failure():
     batcher.stop()
     assert out["bad"] is None
     np.testing.assert_allclose(out["good"], np.ones((1, 2, 2, 1)))
+
+
+def test_auto_buckets_by_image_size():
+    """batch_buckets="auto" must resolve from the measured policy: deep
+    buckets at <=256² (batch-8 rollouts ~4.4x cheaper/img), bucket 1 at 512²
+    (chip saturates at batch 1; every coalescing level measured worse —
+    examples/serving_load_test.py results in EngineConfig docstring)."""
+    from midd_tpu import config as c
+    from midd_tpu.serve.engine import EngineConfig, InferenceEngine
+
+    kw = dict(
+        diffusion_steps=2,
+        hybrid_diffusion_steps=2,
+        nafnet_cfg=c.NAFNetConfig(width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)),
+        diffusion_cfg=c.DiffusionUNetConfig(model_channels=8, channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(1,), time_emb_dim=16),
+        expert_cfg=c.ExpertConfig(base_channels=8),
+        router_cfg=c.RouterConfig(base_c=8),
+        fusion_cfg=c.FusionConfig(base_c=16),
+        schedule_cfg=c.ScheduleConfig(noise_steps=6),
+        ckpt_dir="/nonexistent",
+        warmup=False,
+        batching=True,
+    )
+    small = InferenceEngine(EngineConfig(img_size=16, **kw))
+    assert small.batcher.buckets == [1, 2, 4, 8]
+    small.batcher.stop()
+    big = InferenceEngine(EngineConfig(img_size=512, **kw))
+    assert big.batcher.buckets == [1]
+    big.batcher.stop()
+    # explicit tuples are honored verbatim
+    expl = InferenceEngine(EngineConfig(img_size=512, **{**kw, "batch_buckets": (1, 2)}))
+    assert expl.batcher.buckets == [1, 2]
+    expl.batcher.stop()
