@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--inner", type=int, default=10, help="steps per scan")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the loss (trade FLOPs for HBM)")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +62,8 @@ def main():
         opt_state = tx.init(params)
 
         loss_fn = diffusion_loss_fn(model, schedule)
+        if args.remat:
+            loss_fn = jax.checkpoint(loss_fn)
 
         def one_step(carry, xs):
             params, opt_state = carry
