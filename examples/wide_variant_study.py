@@ -84,13 +84,7 @@ def main():
 
     variants = {
         "w48": config.SERVE_DIFFUSION,  # reference width (DDIM/DDIMModel.py:168)
-        "w96": config.DiffusionUNetConfig(
-            model_channels=96,
-            channel_mult=(1, 2, 3, 4),
-            num_res_blocks=2,
-            attention_resolutions=(3,),
-            time_emb_dim=192,
-        ),
+        "w96": config.WIDE_DIFFUSION,
     }
     ds = make_train_dataset(args.n_train, args.img_size)
     e = max(2, int(30 * args.epochs_scale))

@@ -159,6 +159,15 @@ SERVE_HYBRID = HybridConfig(
 SERVE_IMG_SIZE = 512  # run.py:198
 SERVE_DIFFUSION_STEPS = 8  # run.py:107
 
+# TPU-native wide diffusion variant (NOT in the reference; ROADMAP lever 2,
+# measured in wide_study.json): same recipe at 96 base channels costs only
+# ~1.9x rollout time for 3.9x params (the 48-wide model leaves ~half the MXU
+# lanes idle), and at 8 sampling steps it beats the reference-width 50-step
+# rollout on BOTH quality and speed (38.30 dB @ 20.0 img/s vs 34.63 @ 7.70,
+# xraybench-v1). Train with examples/wide_variant_study.py; the serving
+# engine picks the width up from checkpoint metadata automatically.
+WIDE_DIFFUSION = DiffusionUNetConfig(model_channels=96)
+
 # Secondary model families.
 CDDPM_UNET = DiffusionUNetConfig(skip_mode="cddpm")
 TINY_UNET = TinyUNetConfig()
