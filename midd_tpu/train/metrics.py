@@ -110,8 +110,11 @@ def compute_metrics(
     helpers. ``flat_psnr_fallback=True`` reproduces the hybrid copy's rule of
     reporting 40 dB when the target image is constant
     (hybrid3diffusionspeed.py:461-464)."""
-    p = jnp.clip(_to_bhw(pred), 0.0, 1.0)
-    t = jnp.clip(_to_bhw(target), 0.0, 1.0)
+    # Metrics are always fp32 regardless of the model's compute dtype: SSIM's
+    # variance/covariance terms are numerically meaningless in bf16 (measured:
+    # SSIM "1.41" on bf16 engine outputs before this cast).
+    p = jnp.clip(_to_bhw(pred).astype(jnp.float32), 0.0, 1.0)
+    t = jnp.clip(_to_bhw(target).astype(jnp.float32), 0.0, 1.0)
     psnr_vals = psnr(p, t)
     if flat_psnr_fallback:
         flat = (jnp.max(t, axis=(-2, -1)) - jnp.min(t, axis=(-2, -1))) == 0

@@ -55,3 +55,25 @@ def test_identical_images_ssim_one(rng):
     clean, _ = _pairs(rng, n=1)
     s = metrics.ssim(jnp.asarray(clean), jnp.asarray(clean))
     assert float(s[0]) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_compute_metrics_bf16_inputs_match_fp32():
+    """bf16 engine outputs must not corrupt the metrics: compute_metrics
+    casts to fp32 internally (SSIM's covariance terms are meaningless in
+    bf16 — observed SSIM > 1 before the cast)."""
+    import jax.numpy as jnp
+
+    from midd_tpu.train.metrics import compute_metrics
+
+    rng = np.random.default_rng(0)
+    clean = rng.random((2, 32, 32), dtype=np.float32)
+    pred = np.clip(clean + rng.normal(0, 0.05, clean.shape).astype(np.float32), 0, 1)
+    p32, s32 = compute_metrics(jnp.asarray(pred), jnp.asarray(clean))
+    pbf, sbf = compute_metrics(
+        jnp.asarray(pred).astype(jnp.bfloat16), jnp.asarray(clean).astype(jnp.bfloat16)
+    )
+    assert float(sbf) <= 1.0
+    # bf16 quantization of the INPUTS shifts values slightly; the metric
+    # computation itself must be fp32-stable
+    np.testing.assert_allclose(float(pbf), float(p32), atol=0.5)
+    np.testing.assert_allclose(float(sbf), float(s32), atol=0.02)
