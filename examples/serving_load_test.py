@@ -80,6 +80,8 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--buckets", default=None,
                     help="comma-separated batch buckets, e.g. 1,2,4")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="disable the fused single-program request path")
     args = ap.parse_args()
 
     from midd_tpu.serve.server import EngineConfig, make_server
@@ -91,6 +93,8 @@ def main():
         kw["compute_dtype"] = jnp.bfloat16
     if args.buckets:
         kw["batch_buckets"] = tuple(int(b) for b in args.buckets.split(","))
+    if args.no_fused:
+        kw["fused_request"] = False
     cfg = EngineConfig(
         img_size=args.img_size,
         ckpt_dir=args.ckpt_dir,

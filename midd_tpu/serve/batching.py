@@ -34,8 +34,13 @@ class MicroBatcher:
         buckets: Sequence[int] = (1, 2, 4, 8),
         max_wait_ms: float = 4.0,
         warmup_shape: Optional[tuple] = None,
+        fused_fn: Optional[Callable] = None,
     ):
         self.fns = fns
+        # one jitted program returning {model: batch} — used instead of the
+        # per-model dispatch loop when set (shared-subgraph serving; per-model
+        # isolation is recovered by falling back on exception)
+        self.fused_fn = fused_fn
         self.buckets = sorted(buckets)
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
@@ -45,8 +50,12 @@ class MicroBatcher:
             h, w, c = warmup_shape
             for b in self.buckets:
                 x = jnp.zeros((b, h, w, c), jnp.float32)
-                for fn in fns.values():
-                    fn(x).block_until_ready()
+                if fused_fn is not None:
+                    for o in fused_fn(x).values():
+                        o.block_until_ready()
+                else:
+                    for fn in fns.values():
+                        fn(x).block_until_ready()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -118,11 +127,17 @@ class MicroBatcher:
             # every request in the batch (mirrors run.py:96-101 semantics)
             xj = jnp.asarray(arr)
             pending = {}
-            for name, fn in self.fns.items():
+            if self.fused_fn is not None:
                 try:
-                    pending[name] = fn(xj)  # async dispatch
+                    pending = dict(self.fused_fn(xj))
                 except Exception:  # noqa: BLE001
-                    pending[name] = None
+                    pending = {}
+            if not pending:
+                for name, fn in self.fns.items():
+                    try:
+                        pending[name] = fn(xj)  # async dispatch
+                    except Exception:  # noqa: BLE001
+                        pending[name] = None
             outs = {}
             for name, o in pending.items():
                 try:

@@ -97,7 +97,25 @@ class EngineConfig:
     # diffusion k=2 costs -0.70 dB. Served defaults: hybrid k=2 (quality-free
     # within noise), standalone exact (its deltas are visible).
     turbo_eps_reuse: int = 1
-    hybrid_turbo_eps_reuse: int = 2
+    # None = auto: k=2 (the gated default) for per-path serving, but k =
+    # turbo_eps_reuse when the FUSED request path shares the standalone
+    # rollout with the hybrid — there the exact rollout is computed anyway,
+    # so matching it is simultaneously faster (no second rollout) and
+    # higher-quality than k=2.
+    hybrid_turbo_eps_reuse: Optional[int] = None
+    # fused single-program requests: compile ALL FOUR model paths into ONE
+    # XLA program for the /denoise contract. When the hybrid checkpoint
+    # falls back to the standalone backends (trainer-saved hybrids / no
+    # hybrid ckpt), the NAFNet forward — and, when the step count and
+    # eps_reuse match, the whole diffusion rollout — is computed ONCE and
+    # reused for both its standalone output and the hybrid's input
+    # (bit-identical semantics: the raw backend outputs are injected into
+    # hybrid_forward, whose nan/clamp walls run unchanged). Also saves 3 of
+    # the 4 per-request dispatch round-trips (~30 ms each over the tunnel).
+    # None = auto: on exactly when the backends are shared. Per-path
+    # exception isolation is preserved by falling back to the per-path
+    # programs if the fused dispatch raises.
+    fused_request: Optional[bool] = None
     # persistent XLA compilation cache: warm process starts load executables
     # from disk instead of recompiling (round-1 cost: ~19 min cold warmup at
     # 512² with batching over the TPU tunnel)
@@ -446,6 +464,20 @@ class InferenceEngine:
         if "diffusion_qscales" in v_h:
             hv_unet["qscales"] = v_h["diffusion_qscales"]
 
+        # Resolve the hybrid eps_reuse (EngineConfig.hybrid_turbo_eps_reuse
+        # docstring): auto picks the gated k=2 unless the fused path will
+        # share the standalone rollout, where matching it is strictly better.
+        hk = cfg.hybrid_turbo_eps_reuse
+        if hk is None:
+            fused_will_share = (
+                cfg.fused_request is not False
+                and fell_back
+                and hschedule is schedule
+                and cfg.hybrid_diffusion_steps == cfg.diffusion_steps
+            )
+            hk = cfg.turbo_eps_reuse if fused_will_share else 2
+        self.hybrid_eps_reuse = hk
+
         def hybrid_fn(x):
             out = hybrid_forward(
                 lambda a: hyb_naf.apply({"params": v_h["nafnet"]}, a),
@@ -454,7 +486,7 @@ class InferenceEngine:
                     a,
                     hschedule,
                     cfg.hybrid_diffusion_steps,
-                    eps_reuse=cfg.hybrid_turbo_eps_reuse,
+                    eps_reuse=hk,
                 ),
                 lambda a: router.apply({"params": v_h["router"]}, a),
                 lambda a, b, m: fusion.apply({"params": v_h["fusion"]}, a, b, m),
@@ -468,6 +500,62 @@ class InferenceEngine:
             "expert": expert_fn,
             "hybrid": hybrid_fn,
         }
+
+        # Fused single-program request path (see EngineConfig.fused_request).
+        share_backends = fell_back
+        share_rollout = (
+            share_backends
+            and hschedule is schedule
+            and cfg.hybrid_diffusion_steps == cfg.diffusion_steps
+            and hk == cfg.turbo_eps_reuse
+        )
+        fused_on = cfg.fused_request
+        if fused_on is None:
+            fused_on = share_backends
+        self.shares = {"backends": share_backends, "rollout": share_rollout}
+        raw_fused = None
+        if fused_on:
+
+            def fused_fn(x):
+                naf_raw = naf.apply(v_naf, x)
+                eps = lambda a, c, t: unet.apply(v_diff, a, c, t)
+                diff_raw = denoise(
+                    eps, x, schedule, cfg.diffusion_steps,
+                    eps_reuse=cfg.turbo_eps_reuse,
+                )
+                hyb_naf_fn = (
+                    (lambda a: naf_raw)
+                    if share_backends
+                    else (lambda a: hyb_naf.apply({"params": v_h["nafnet"]}, a))
+                )
+                hyb_diff_fn = (
+                    (lambda a: diff_raw)
+                    if share_rollout
+                    else (
+                        lambda a: denoise(
+                            lambda b, c, t: hyb_unet.apply(hv_unet, b, c, t),
+                            a,
+                            hschedule,
+                            cfg.hybrid_diffusion_steps,
+                            eps_reuse=hk,
+                        )
+                    )
+                )
+                hyb = hybrid_forward(
+                    hyb_naf_fn,
+                    hyb_diff_fn,
+                    lambda a: router.apply({"params": v_h["router"]}, a),
+                    lambda a, b, m: fusion.apply({"params": v_h["fusion"]}, a, b, m),
+                    x,
+                )
+                return {
+                    "diffusion": jnp.clip(diff_raw, 0.0, 1.0),
+                    "nafnet": jnp.clip(naf_raw, 0.0, 1.0),
+                    "expert": expert_fn(x),
+                    "hybrid": jnp.clip(hyb, 0.0, 1.0),
+                }
+
+            raw_fused = fused_fn
         if self.mesh is not None:
             from midd_tpu.parallel import batch_sharding, image_sharding
 
@@ -480,15 +568,25 @@ class InferenceEngine:
                 n: jax.jit(f, in_shardings=bs, out_shardings=bs)
                 for n, f in raw_fns.items()
             }
+            self.fused = (
+                jax.jit(raw_fused, in_shardings=bs, out_shardings=bs)
+                if raw_fused is not None
+                else None
+            )
         else:
             self.fns = {n: jax.jit(f) for n, f in raw_fns.items()}
+            self.fused = jax.jit(raw_fused) if raw_fused is not None else None
 
         if cfg.warmup:
             wb = self.mesh.shape["dp"] if self.mesh is not None else 1
             xw = jnp.zeros((wb, s, s, 1), jnp.float32)
-            for name, fn in self.fns.items():
+            warm = dict(self.fns)
+            if self.fused is not None:
+                warm["fused(all4)"] = self.fused
+            for name, fn in warm.items():
                 t = time.time()
-                np.asarray(fn(xw))  # forced materialisation (see bench.py note)
+                out = fn(xw)
+                jax.tree_util.tree_map(np.asarray, out)  # forced materialisation
                 print(f"[engine] compiled {name} in {time.time() - t:.1f}s")
 
         self.batcher = None
@@ -503,6 +601,7 @@ class InferenceEngine:
                 buckets=tuple(buckets),
                 max_wait_ms=cfg.batch_max_wait_ms,
                 warmup_shape=(s, s, 1) if cfg.warmup else None,
+                fused_fn=self.fused,
             )
 
         for n in MODEL_NAMES:
@@ -582,12 +681,20 @@ class InferenceEngine:
             return results
         outs: Dict[str, Any] = {}
         xj = jnp.asarray(x)
-        for name in MODEL_NAMES:
+        if self.fused is not None:
+            # one program, one dispatch; shared subgraphs computed once
             try:
-                outs[name] = self.fns[name](xj)  # async dispatch
+                outs = dict(self.fused(xj))
             except Exception as e:  # noqa: BLE001
-                print(f"  {name} failed: {e}")
-                outs[name] = None
+                print(f"  fused dispatch failed ({e}); per-path fallback")
+                outs = {}
+        if not outs:
+            for name in MODEL_NAMES:
+                try:
+                    outs[name] = self.fns[name](xj)  # async dispatch
+                except Exception as e:  # noqa: BLE001
+                    print(f"  {name} failed: {e}")
+                    outs[name] = None
         results: Dict[str, Optional[str]] = {}
         for name in MODEL_NAMES:
             if outs[name] is None:

@@ -142,10 +142,12 @@ if __name__ == "__main__":
     ap.add_argument("--turbo", type=int, default=1,
                     help="eps-reuse factor for the STANDALONE diffusion rollout "
                          "(1 = exact; ground-truth frontier in PARITY.md)")
-    ap.add_argument("--turbo-hybrid", type=int, default=2,
-                    help="eps-reuse inside the hybrid path (default 2: -0.08 dB "
-                         "for 1.47x on the xraybench ground-truth gate; 1 = exact; "
-                         "3 measured quality-equal at 1.94x)")
+    ap.add_argument("--turbo-hybrid", type=int, default=None,
+                    help="eps-reuse inside the hybrid path (default auto: 2 for "
+                         "per-path serving [-0.08 dB for 1.47x on the xraybench "
+                         "gate] but EXACT when the fused request path shares the "
+                         "standalone rollout, where exact is both faster and "
+                         "better; 3 measured quality-equal at 1.94x)")
     ap.add_argument("--int8", action="store_true",
                     help="static-calibrated int8 convs in the diffusion UNets "
                          "(opt-in; quality-gated on xraybench — PARITY.md)")
