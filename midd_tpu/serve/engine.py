@@ -112,10 +112,18 @@ class EngineConfig:
     # (bit-identical semantics: the raw backend outputs are injected into
     # hybrid_forward, whose nan/clamp walls run unchanged). Also saves 3 of
     # the 4 per-request dispatch round-trips (~30 ms each over the tunnel).
-    # None = auto: on exactly when the backends are shared. Per-path
-    # exception isolation is preserved by falling back to the per-path
-    # programs if the fused dispatch raises.
-    fused_request: Optional[bool] = None
+    # MEASURED OFF by default (TPU v5e-lite, 512², trained ckpts): although
+    # the fused program computes strictly less work (one rollout + one
+    # NAFNet instead of ~1.5 rollouts + two NAFNets), merging models into
+    # one XLA module costs ~40-50 ms per added model in lost
+    # scheduling/layout quality (rollout 213 ms, +naf 284, +expert 338,
+    # all-4 387 vs a 240 ms sum of parts), which eats the sharing win:
+    # endpoint solo p50 607 ms fused vs 572 per-path, 2.26 vs 2.52 req/s
+    # under 8 clients. Kept as a tested opt-in (fused == per-path outputs
+    # pinned by tests/test_fused_request.py) for deployments where dispatch
+    # round-trips dominate. Per-path exception isolation is preserved by
+    # falling back to the per-path programs if the fused dispatch raises.
+    fused_request: Optional[bool] = None  # None = off (measured); True = on
     # persistent XLA compilation cache: warm process starts load executables
     # from disk instead of recompiling (round-1 cost: ~19 min cold warmup at
     # 512² with batching over the TPU tunnel)
@@ -470,7 +478,7 @@ class InferenceEngine:
         hk = cfg.hybrid_turbo_eps_reuse
         if hk is None:
             fused_will_share = (
-                cfg.fused_request is not False
+                bool(cfg.fused_request)
                 and fell_back
                 and hschedule is schedule
                 and cfg.hybrid_diffusion_steps == cfg.diffusion_steps
@@ -509,9 +517,7 @@ class InferenceEngine:
             and cfg.hybrid_diffusion_steps == cfg.diffusion_steps
             and hk == cfg.turbo_eps_reuse
         )
-        fused_on = cfg.fused_request
-        if fused_on is None:
-            fused_on = share_backends
+        fused_on = bool(cfg.fused_request)
         self.shares = {"backends": share_backends, "rollout": share_rollout}
         raw_fused = None
         if fused_on:

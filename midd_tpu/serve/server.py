@@ -159,6 +159,10 @@ if __name__ == "__main__":
     ap.add_argument("--sp", type=int, default=0, metavar="N",
                     help="spatial-parallel serving: image rows sharded over N "
                          "devices (batch-1 latency; 0 = off, -1 = auto)")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused single-program requests (shared subgraphs + "
+                         "1 dispatch; measured net-negative on v5e-lite at "
+                         "512² — see EngineConfig.fused_request)")
     ap.add_argument("--batching", action="store_true",
                     help="micro-batching queue: coalesce concurrent requests "
                          "into size-bucketed device batches (2.5x measured "
@@ -179,6 +183,7 @@ if __name__ == "__main__":
         hybrid_turbo_eps_reuse=args.turbo_hybrid,
         quantize_int8="static" if args.int8 else False,
         batching=args.batching,
+        fused_request=args.fused or None,
         batch_buckets=(
             tuple(int(b) for b in args.buckets.split(",")) if args.buckets
             else "auto"

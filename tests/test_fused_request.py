@@ -79,16 +79,16 @@ def _assert_fused_matches(engine):
         )
 
 
-def test_fused_auto_on_shared_backends_full_sharing(hybrid_ckpt_dir):
+def test_fused_shared_backends_full_sharing(hybrid_ckpt_dir):
     """Same steps + same eps_reuse: both the NAFNet forward and the rollout
     are shared; outputs must be identical to the per-path programs."""
     eng = InferenceEngine(
         EngineConfig(
-            ckpt_dir=hybrid_ckpt_dir, turbo_eps_reuse=1,
+            ckpt_dir=hybrid_ckpt_dir, fused_request=True, turbo_eps_reuse=1,
             hybrid_turbo_eps_reuse=1, **TINY,
         )
     )
-    assert eng.fused is not None  # auto-enabled: backends shared
+    assert eng.fused is not None
     assert eng.shares == {"backends": True, "rollout": True}
     _assert_fused_matches(eng)
 
@@ -96,14 +96,18 @@ def test_fused_auto_on_shared_backends_full_sharing(hybrid_ckpt_dir):
 def test_hybrid_turbo_auto_matches_shared_rollout(hybrid_ckpt_dir):
     """hybrid_turbo_eps_reuse=None (auto): when fused sharing fires, the
     hybrid must ride the standalone EXACT rollout (faster than k=2 AND
-    higher quality — the rollout is computed anyway); per-path/demo serving
-    keeps the gated k=2."""
-    eng = InferenceEngine(EngineConfig(ckpt_dir=hybrid_ckpt_dir, **TINY))
+    higher quality — the rollout is computed anyway); per-path serving
+    (the measured default) keeps the gated k=2."""
+    eng = InferenceEngine(
+        EngineConfig(ckpt_dir=hybrid_ckpt_dir, fused_request=True, **TINY)
+    )
     assert eng.hybrid_eps_reuse == 1
     assert eng.shares == {"backends": True, "rollout": True}
     _assert_fused_matches(eng)
     demo = InferenceEngine(EngineConfig(ckpt_dir="/nonexistent", **TINY))
     assert demo.hybrid_eps_reuse == 2
+    perpath = InferenceEngine(EngineConfig(ckpt_dir=hybrid_ckpt_dir, **TINY))
+    assert perpath.fused is None and perpath.hybrid_eps_reuse == 2
 
 
 def test_fused_partial_sharing_turbo_mismatch(hybrid_ckpt_dir):
@@ -111,7 +115,7 @@ def test_fused_partial_sharing_turbo_mismatch(hybrid_ckpt_dir):
     NAFNet forward is shared — fused must still match per-path exactly."""
     eng = InferenceEngine(
         EngineConfig(
-            ckpt_dir=hybrid_ckpt_dir, turbo_eps_reuse=1,
+            ckpt_dir=hybrid_ckpt_dir, fused_request=True, turbo_eps_reuse=1,
             hybrid_turbo_eps_reuse=2, **TINY,
         )
     )
@@ -131,7 +135,7 @@ def test_fused_forced_on_demo_weights():
     _assert_fused_matches(eng)
 
 
-def test_fused_auto_off_demo_weights():
+def test_fused_off_by_default():
     eng = InferenceEngine(EngineConfig(ckpt_dir="/nonexistent", **TINY))
     assert eng.fused is None
 
@@ -140,7 +144,7 @@ def test_fused_through_batcher(hybrid_ckpt_dir):
     """The micro-batcher's fused dispatch returns the same per-request
     outputs as the per-path programs."""
     eng = InferenceEngine(
-        EngineConfig(ckpt_dir=hybrid_ckpt_dir, batching=True, **TINY)
+        EngineConfig(ckpt_dir=hybrid_ckpt_dir, batching=True, fused_request=True, **TINY)
     )
     assert eng.batcher is not None and eng.batcher.fused_fn is not None
     x = np.asarray(_x(1))
