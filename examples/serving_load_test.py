@@ -114,11 +114,21 @@ def main():
     log(f"solo request p50 {np.median(solo) * 1e3:.0f} ms")
 
     lat: list[float] = []
+    errors: list[str] = []
     lock = threading.Lock()
 
     def client(cid: int):
         for j in range(args.per_client):
-            dt = post_denoise(args.port, make_png(cid * 997 + j, args.img_size))
+            try:
+                dt = post_denoise(
+                    args.port, make_png(cid * 997 + j, args.img_size)
+                )
+            except Exception as e:  # noqa: BLE001
+                # record and continue: a silent thread death would shrink the
+                # sample set and corrupt the reported stats
+                with lock:
+                    errors.append(f"client {cid} req {j}: {e}")
+                continue
             with lock:
                 lat.append(dt)
 
@@ -133,7 +143,11 @@ def main():
     wall = time.time() - t0
 
     n = len(lat)
+    if not n:
+        print(json.dumps({"error": "all requests failed", "errors": errors[:5]}))
+        sys.exit(1)
     result = {
+        "errors": len(errors),
         "img_size": args.img_size,
         "clients": args.clients,
         "requests": n,

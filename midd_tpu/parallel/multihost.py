@@ -67,8 +67,14 @@ def init_distributed(
             process_id=process_id,
         )
         return True
-    except RuntimeError:
-        return False  # already initialized
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return False  # initialize() called twice — benign
+        # A configured multi-host launch that cannot connect must FAIL FAST:
+        # silently degrading to independent single-process runs would train
+        # every host on the full batch with no gradient sync (wrong results,
+        # not an error).
+        raise
 
 
 def _slice_index(device) -> Optional[int]:
@@ -89,6 +95,12 @@ def make_hybrid_mesh(
     the flat device list into contiguous slices (also how tests model slices
     on virtual CPU devices). With one slice this degrades exactly to
     ``mesh.make_mesh``'s layout.
+
+    Deliberately NOT ``jax.experimental.mesh_utils.create_hybrid_device_mesh``:
+    that helper requires real ``slice_index`` attributes (absent on the
+    virtual CPU devices the test suite and the driver dryrun run on) and
+    fixes its own axis convention; this explicit layout is what
+    ``mesh_fabric_report`` asserts against in CI and the dryrun.
 
     Every slice must hold a multiple of sp*tp devices; dp collects the
     remaining factor from all slices, ordered slice-major so the OUTER dp

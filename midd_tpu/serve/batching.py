@@ -50,12 +50,14 @@ class MicroBatcher:
             h, w, c = warmup_shape
             for b in self.buckets:
                 x = jnp.zeros((b, h, w, c), jnp.float32)
+                # warm the per-model programs even in fused mode: they are
+                # the runtime fallback, and compiling them lazily inside the
+                # collector loop would stall every queued request
+                for fn in fns.values():
+                    fn(x).block_until_ready()
                 if fused_fn is not None:
                     for o in fused_fn(x).values():
                         o.block_until_ready()
-                else:
-                    for fn in fns.values():
-                        fn(x).block_until_ready()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -126,24 +128,30 @@ class MicroBatcher:
             # per-model exception isolation: a failed model yields None for
             # every request in the batch (mirrors run.py:96-101 semantics)
             xj = jnp.asarray(arr)
-            pending = {}
+            outs = {}
             if self.fused_fn is not None:
+                # materialise INSIDE the try: device errors surface at
+                # np.asarray, not dispatch — only then is the fused result
+                # proven good, else fall back to the per-path programs
                 try:
-                    pending = dict(self.fused_fn(xj))
+                    outs = {
+                        k: np.asarray(v)
+                        for k, v in dict(self.fused_fn(xj)).items()
+                    }
                 except Exception:  # noqa: BLE001
-                    pending = {}
-            if not pending:
+                    outs = {}
+            if not outs:
+                pending = {}
                 for name, fn in self.fns.items():
                     try:
                         pending[name] = fn(xj)  # async dispatch
                     except Exception:  # noqa: BLE001
                         pending[name] = None
-            outs = {}
-            for name, o in pending.items():
-                try:
-                    outs[name] = None if o is None else np.asarray(o)
-                except Exception:  # noqa: BLE001
-                    outs[name] = None
+                for name, o in pending.items():
+                    try:
+                        outs[name] = None if o is None else np.asarray(o)
+                    except Exception:  # noqa: BLE001
+                        outs[name] = None
             for i, fut in enumerate(futs):
                 fut.set_result(
                     {

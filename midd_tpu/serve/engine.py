@@ -472,16 +472,26 @@ class InferenceEngine:
         if "diffusion_qscales" in v_h:
             hv_unet["qscales"] = v_h["diffusion_qscales"]
 
+        # One predicate for "the hybrid COULD ride the standalone rollout":
+        # shared weights (fallback), same schedule, same step count. Both the
+        # eps-reuse auto rule and the fused sharing decision derive from it.
+        rollout_shareable = (
+            fell_back
+            and hschedule is schedule
+            and cfg.hybrid_diffusion_steps == cfg.diffusion_steps
+        )
+
         # Resolve the hybrid eps_reuse (EngineConfig.hybrid_turbo_eps_reuse
         # docstring): auto picks the gated k=2 unless the fused path will
-        # share the standalone rollout, where matching it is strictly better.
+        # share the standalone rollout, where matching it is strictly better
+        # — but never auto-inherit an UNGATED k > 2 (only k<=2 has ground-
+        # truth quality cover for the hybrid; PARITY.md frontier table).
         hk = cfg.hybrid_turbo_eps_reuse
         if hk is None:
             fused_will_share = (
                 bool(cfg.fused_request)
-                and fell_back
-                and hschedule is schedule
-                and cfg.hybrid_diffusion_steps == cfg.diffusion_steps
+                and rollout_shareable
+                and cfg.turbo_eps_reuse <= 2
             )
             hk = cfg.turbo_eps_reuse if fused_will_share else 2
         self.hybrid_eps_reuse = hk
@@ -511,12 +521,7 @@ class InferenceEngine:
 
         # Fused single-program request path (see EngineConfig.fused_request).
         share_backends = fell_back
-        share_rollout = (
-            share_backends
-            and hschedule is schedule
-            and cfg.hybrid_diffusion_steps == cfg.diffusion_steps
-            and hk == cfg.turbo_eps_reuse
-        )
+        share_rollout = rollout_shareable and hk == cfg.turbo_eps_reuse
         fused_on = bool(cfg.fused_request)
         self.shares = {"backends": share_backends, "rollout": share_rollout}
         raw_fused = None
@@ -602,6 +607,13 @@ class InferenceEngine:
             buckets = cfg.batch_buckets
             if buckets == "auto":
                 buckets = (1, 2, 4, 8) if cfg.img_size <= 256 else (1,)
+            # batched programs run with the engine's in_shardings: every
+            # bucket must be divisible by the mesh's dp axis (a size-1 batch
+            # cannot shard 8 ways) — round auto/explicit buckets up to dp
+            # multiples and dedupe
+            if self.mesh is not None and self.mesh.shape["dp"] > 1:
+                dp = self.mesh.shape["dp"]
+                buckets = tuple(sorted({-(-b // dp) * dp for b in buckets}))
             self.batcher = MicroBatcher(
                 self.fns,
                 buckets=tuple(buckets),
@@ -688,9 +700,14 @@ class InferenceEngine:
         outs: Dict[str, Any] = {}
         xj = jnp.asarray(x)
         if self.fused is not None:
-            # one program, one dispatch; shared subgraphs computed once
+            # one program, one dispatch; shared subgraphs computed once.
+            # Materialise INSIDE the try: JAX device errors surface at
+            # np.asarray, not at dispatch — only a materialised result
+            # proves the fused program ran, otherwise fall back per-path.
             try:
-                outs = dict(self.fused(xj))
+                outs = {
+                    k: np.asarray(v) for k, v in dict(self.fused(xj)).items()
+                }
             except Exception as e:  # noqa: BLE001
                 print(f"  fused dispatch failed ({e}); per-path fallback")
                 outs = {}

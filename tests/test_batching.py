@@ -91,3 +91,38 @@ def test_auto_buckets_by_image_size():
     expl = InferenceEngine(EngineConfig(img_size=512, **{**kw, "batch_buckets": (1, 2)}))
     assert expl.batcher.buckets == [1, 2]
     expl.batcher.stop()
+
+
+def test_dp_batching_rounds_buckets_to_dp_multiples():
+    """data_parallel + batching: buckets must be dp-multiples (a batch-1
+    program cannot shard its batch axis 8 ways) — auto buckets round up and
+    the padded batcher path serves a single request correctly."""
+    from midd_tpu import config as c
+    from midd_tpu.serve.engine import EngineConfig, InferenceEngine
+
+    eng = InferenceEngine(
+        EngineConfig(
+            img_size=16,
+            diffusion_steps=2,
+            hybrid_diffusion_steps=2,
+            nafnet_cfg=c.NAFNetConfig(width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)),
+            diffusion_cfg=c.DiffusionUNetConfig(model_channels=8, channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(1,), time_emb_dim=16),
+            expert_cfg=c.ExpertConfig(base_channels=8),
+            router_cfg=c.RouterConfig(base_c=8),
+            fusion_cfg=c.FusionConfig(base_c=16),
+            schedule_cfg=c.ScheduleConfig(noise_steps=6),
+            ckpt_dir="/nonexistent",
+            warmup=False,
+            batching=True,
+            data_parallel=True,
+        )
+    )
+    dp = eng.mesh.shape["dp"]
+    assert dp > 1
+    assert all(b % dp == 0 for b in eng.batcher.buckets), eng.batcher.buckets
+    x = np.random.default_rng(0).random((1, 16, 16, 1)).astype(np.float32)
+    outs = eng.batcher.process(x)
+    for name in ("diffusion", "nafnet", "expert", "hybrid"):
+        assert outs[name].shape == (1, 16, 16, 1)
+        assert np.isfinite(outs[name]).all()
+    eng.batcher.stop()

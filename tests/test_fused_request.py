@@ -153,3 +153,18 @@ def test_fused_through_batcher(hybrid_ckpt_dir):
         per_path = np.asarray(eng.fns[name](jnp.asarray(x)))
         np.testing.assert_allclose(outs[name], per_path, atol=1e-6, err_msg=name)
     eng.batcher.stop()
+
+
+def test_hybrid_turbo_auto_never_inherits_ungated_k(hybrid_ckpt_dir):
+    """Auto hk must not ride an UNGATED standalone eps_reuse > 2 into the
+    hybrid: with --turbo 4 + fused, hk stays at the gated 2 and the rollout
+    is NOT shared."""
+    eng = InferenceEngine(
+        EngineConfig(
+            ckpt_dir=hybrid_ckpt_dir, fused_request=True,
+            turbo_eps_reuse=4, **TINY,
+        )
+    )
+    assert eng.hybrid_eps_reuse == 2
+    assert eng.shares["rollout"] is False
+    _assert_fused_matches(eng)
