@@ -231,6 +231,28 @@ class InferenceEngine:
         self.n_tp_sharded += count_tp_sharded(shardings)
         return jax.device_put(tree, shardings)
 
+    def _diffusion_cfg_from_meta(self, meta: Dict, default):
+        """Diffusion arch from checkpoint metadata (``diffusion_params``
+        saved by the trainers; same override rule as the hybrid's internal
+        UNet and run.py's NAFNet width pickup)."""
+        # train_diffusion saves the arch FLATTENED into the metadata
+        # (recipes.py); hybrid-style checkpoints nest it under
+        # "diffusion_params" — accept both layouts.
+        d = meta.get("diffusion_params") or meta
+        if "model_channels" not in d:
+            return default
+        return config.DiffusionUNetConfig(
+            in_channels=int(d.get("in_channels", default.in_channels)),
+            model_channels=int(d["model_channels"]),
+            channel_mult=tuple(d.get("channel_mult", default.channel_mult)),
+            num_res_blocks=int(d.get("num_res_blocks", default.num_res_blocks)),
+            attention_resolutions=tuple(
+                d.get("attention_resolutions", default.attention_resolutions)
+            ),
+            time_emb_dim=int(d.get("time_emb_dim", default.time_emb_dim)),
+            skip_mode=d.get("skip_mode", default.skip_mode),
+        )
+
     def _peek_meta(self, name: str) -> Dict:
         """Read checkpoint metadata so arch hyperparams stored in checkpoints
         override the static config — run.py does the same for NAFNet
@@ -354,16 +376,41 @@ class InferenceEngine:
 
         # Diffusion path (standalone). Checkpoint loading/init always goes
         # through the plain model (identical param tree; the static-quant
-        # model cannot run before calibration).
-        unet_plain = UNetDiffusion(
-            cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt
+        # model cannot run before calibration). Arch hyperparams stored in
+        # the checkpoint metadata override the static config (run.py
+        # semantics, same as the nafnet/hybrid paths) — this is how e.g. the
+        # wide (96-channel) variant serves as a drop-in checkpoint.
+        diff_cfg = self._diffusion_cfg_from_meta(
+            self._peek_meta("diffusion"), cfg.diffusion_cfg
         )
-        unet = (
-            UNetDiffusion(cfg.diffusion_cfg, use_flash=cfg.use_flash_attention, dtype=dt, quant=qmode)
-            if qmode
-            else unet_plain
-        )
+
+        def _mk_unets(dcfg):
+            plain = UNetDiffusion(
+                dcfg, use_flash=cfg.use_flash_attention, dtype=dt
+            )
+            q = (
+                UNetDiffusion(dcfg, use_flash=cfg.use_flash_attention, dtype=dt, quant=qmode)
+                if qmode
+                else plain
+            )
+            return plain, q
+
+        unet_plain, unet = _mk_unets(diff_cfg)
         v_diff_raw = self._variables_for("diffusion", unet_plain, x0, x0, t0)
+        # arch-less checkpoints (no metadata, e.g. pre-round-2 trainer
+        # saves): infer the base width from the stem conv kernel and rebuild
+        kern = (
+            v_diff_raw.get("params", {}).get("in_conv", {}).get("kernel")
+            if isinstance(v_diff_raw, dict)
+            else None
+        )
+        if kern is not None and kern.shape[-1] != diff_cfg.model_channels:
+            import dataclasses as _dc
+
+            diff_cfg = _dc.replace(
+                diff_cfg, model_channels=int(kern.shape[-1])
+            )
+            unet_plain, unet = _mk_unets(diff_cfg)
         noise_steps = int(
             self.meta["diffusion"].get("noise_steps", schedule.noise_steps)
         )
@@ -375,7 +422,7 @@ class InferenceEngine:
             v_diff_raw = {
                 **v_diff_raw,
                 "qscales": self._calibrate_unet(
-                    cfg.diffusion_cfg, v_diff_raw, schedule, cfg.diffusion_steps
+                    diff_cfg, v_diff_raw, schedule, cfg.diffusion_steps
                 ),
             }
         v_diff = self._shard(v_diff_raw)
@@ -422,7 +469,7 @@ class InferenceEngine:
                 skip_mode=dparams.get("skip_mode", "ddim"),
             )
         else:
-            hyb_unet_cfg = cfg.diffusion_cfg
+            hyb_unet_cfg = diff_cfg
         hschedule = (
             make_schedule(config.ScheduleConfig(noise_steps=int(dparams["noise_steps"])))
             if dparams.get("noise_steps")
@@ -455,7 +502,7 @@ class InferenceEngine:
                     v_diff_raw["params"] if fell_back else v_h_raw["diffusion_unet"]
                 )
                 qs_h = self._calibrate_unet(
-                    cfg.diffusion_cfg if fell_back else hyb_unet_cfg,
+                    diff_cfg if fell_back else hyb_unet_cfg,
                     {"params": src_params},
                     hschedule,
                     cfg.hybrid_diffusion_steps,

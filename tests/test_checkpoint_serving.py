@@ -192,3 +192,49 @@ def test_engine_serves_trainer_checkpoints(rng, tmp_path):
         out = np.asarray(engine.fns[name](x))
         assert out.shape == (1, 16, 16, 1)
         assert np.isfinite(out).all(), name
+
+
+def test_engine_reads_diffusion_arch_from_metadata(rng, tmp_path):
+    """A diffusion checkpoint trained at a NON-default width must serve with
+    the DEFAULT engine config: the standalone diffusion path reads the arch
+    from checkpoint metadata (run.py semantics; how the wide w96 variant
+    serves as a drop-in), with a stem-kernel width-inference fallback for
+    arch-less checkpoints."""
+    from midd_tpu.train import data
+    from midd_tpu.train.recipes import train_diffusion
+    from midd_tpu.train.trainer import TrainConfig
+
+    clean = rng.random((2, 16, 16, 1)).astype(np.float32)
+    ds = data.SyntheticPairedDataset(clean, is_train=False)
+    wide_cfg = config.DiffusionUNetConfig(
+        model_channels=16, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(1,), time_emb_dim=32,
+    )
+    train_diffusion(
+        ds, model_cfg=wide_cfg,
+        schedule_cfg=config.ScheduleConfig(noise_steps=6),
+        train_cfg=TrainConfig(epochs=1, batch_size=1, lr=1e-3,
+                              ckpt_dir=str(tmp_path), ckpt_name="diffusion",
+                              num_workers=0, prefetch=0),
+        val_inference_steps=2,
+    )
+    # engine configured with a DIFFERENT (8-wide) default arch
+    engine = InferenceEngine(
+        EngineConfig(
+            img_size=16,
+            diffusion_steps=2,
+            hybrid_diffusion_steps=2,
+            nafnet_cfg=config.NAFNetConfig(width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)),
+            diffusion_cfg=config.DiffusionUNetConfig(model_channels=8, channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(1,), time_emb_dim=16),
+            expert_cfg=config.ExpertConfig(base_channels=8),
+            router_cfg=config.RouterConfig(base_c=8),
+            fusion_cfg=config.FusionConfig(base_c=16),
+            schedule_cfg=config.ScheduleConfig(noise_steps=6),
+            ckpt_dir=str(tmp_path),
+            warmup=False,
+        )
+    )
+    x = jnp.asarray(np.clip(rng.random((1, 16, 16, 1), dtype=np.float32), 0, 1))
+    out = np.asarray(engine.fns["diffusion"](x))
+    assert out.shape == (1, 16, 16, 1)
+    assert np.isfinite(out).all()
