@@ -29,7 +29,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_rollout(model, variables, schedule, steps, batch, size, dtype):
+def time_rollout(model, variables, schedule, steps, batch, size):
     """Rollout throughput at serving batch, distinct inputs per timed call
     (CLAUDE.md timing rules)."""
     import jax
@@ -118,7 +118,7 @@ def main():
 
         quality = score_fn(jax.jit(fwd), eval_set)
         ips = time_rollout(
-            model, variables, schedule, args.steps, 8, args.img_size, dtype
+            model, variables, schedule, args.steps, 8, args.img_size
         )
         results[tag] = {
             **quality,

@@ -170,22 +170,25 @@ def score_fn(
             p, s = compute_metrics(
                 jnp.asarray(pred[j : j + 1]), jnp.asarray(clean[j : j + 1])
             )
-            if np.isfinite(float(p)):
+            # an EXACT reconstruction yields PSNR=inf: keep the image (its
+            # SSIM=1 counts; the PSNR mean is over finite values only)
+            # rather than dropping it and penalising the better model
+            if np.isfinite(float(s)):
                 by_type.setdefault(nt, []).append((float(p), float(s)))
     out: Dict[str, Dict[str, float]] = {}
     allv: List[Tuple[float, float]] = []
-    for nt, vals in by_type.items():
-        allv.extend(vals)
-        out[nt] = {
-            "psnr": float(np.mean([v[0] for v in vals])),
+    def _summ(vals):
+        fin = [v[0] for v in vals if np.isfinite(v[0])]
+        return {
+            "psnr": float(np.mean(fin)) if fin else float("inf"),
             "ssim": float(np.mean([v[1] for v in vals])),
             "n": len(vals),
         }
-    out["overall"] = {
-        "psnr": float(np.mean([v[0] for v in allv])),
-        "ssim": float(np.mean([v[1] for v in allv])),
-        "n": len(allv),
-    }
+
+    for nt, vals in by_type.items():
+        allv.extend(vals)
+        out[nt] = _summ(vals)
+    out["overall"] = _summ(allv)
     return out
 
 
@@ -284,8 +287,6 @@ def train_all(
 def turbo_gate(engine_cfg_kwargs: dict, eval_set) -> Dict[str, Dict]:
     """Quality/speed frontier of the turbo paths vs GROUND TRUTH (the round-1
     gap: k=2 was only ever scored against the exact rollout's output)."""
-    import dataclasses
-
     from midd_tpu.serve.engine import EngineConfig, InferenceEngine
 
     results = {}
@@ -337,6 +338,17 @@ def main():
         warmup=False,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
+    if args.width_preset == "tiny":
+        # the scoring engine must model what train_all wrote: nafnet and
+        # diffusion arch are read from checkpoint metadata, but expert/
+        # router/fusion carry none — mirror train_all's tiny configs
+        from midd_tpu import config as _c
+
+        kw.update(
+            expert_cfg=_c.ExpertConfig(base_channels=8),
+            router_cfg=_c.RouterConfig(base_c=8),
+            fusion_cfg=_c.FusionConfig(base_c=16),
+        )
     if args.int8:
         kw["quantize_int8"] = "static"
     if args.turbo_gate:

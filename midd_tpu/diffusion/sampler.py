@@ -58,6 +58,10 @@ def denoise(
     batch = noisy.shape[0]
     if stochastic and key is None and noise_seq is None:
         raise ValueError("stochastic sampling requires a PRNG key")
+    if noise_seq is not None and not stochastic:
+        # the injected noise is only consumed by the ancestral update;
+        # silently running deterministic would betray the caller's intent
+        raise ValueError("noise_seq requires stochastic=True")
     if noise_seq is not None:
         # injected per-step standard normals (n_steps, *x.shape) — used by the
         # golden-parity test to feed the torch loop and this scan IDENTICAL

@@ -336,11 +336,33 @@ class InferenceEngine:
             if cfg.spatial_parallel:
                 # sp must not exceed the DEEPEST feature-map height or some
                 # shards are empty — measured to produce wrong results under
-                # GSPMD, not just waste. Depth from the static configs (the
-                # serve presets: NAFNet 4 downs, diffusion 3, expert 2).
+                # GSPMD, not just waste. Depth must come from the RESOLVED
+                # architectures: checkpoint metadata can deepen the served
+                # models past the static configs (nafnet width/blocks and
+                # the hybrid's diffusion_params are read from metadata), and
+                # an sp guard computed from the presets would then let GSPMD
+                # produce silently wrong outputs.
+                naf_meta_cfg = self._nafnet_cfg_from_meta(
+                    self._peek_meta("nafnet"), cfg.nafnet_cfg
+                )
+                hyb_meta = self._peek_meta("hybrid")
+                hyb_naf_meta_cfg = self._nafnet_cfg_from_meta(
+                    hyb_meta.get("nafnet_params", {}) or {}, cfg.nafnet_cfg
+                )
+                diff_meta_cfg = self._diffusion_cfg_from_meta(
+                    self._peek_meta("diffusion"), cfg.diffusion_cfg
+                )
+                hyb_diff_meta = hyb_meta.get("diffusion_params") or {}
+                hyb_diff_mult = tuple(
+                    hyb_diff_meta.get(
+                        "channel_mult", cfg.diffusion_cfg.channel_mult
+                    )
+                )
                 n_downs = max(
-                    len(cfg.nafnet_cfg.enc_blk_nums),
-                    len(cfg.diffusion_cfg.channel_mult) - 1,
+                    len(naf_meta_cfg.enc_blk_nums),
+                    len(hyb_naf_meta_cfg.enc_blk_nums),
+                    len(diff_meta_cfg.channel_mult) - 1,
+                    len(hyb_diff_mult) - 1,
                     2,
                 )
                 deepest = max(1, cfg.img_size >> n_downs)

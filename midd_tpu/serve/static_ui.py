@@ -101,7 +101,7 @@ UI_HTML = """<!DOCTYPE html>
         weights over the NAFNet and diffusion outputs; one fused TPU program.</div>
     </div>
     <p>Per-model PSNR badges are measured against the uploaded image
-      (higher = stronger smoothing; they quantify change, not ground-truth
+      (HIGHER = closer to the noisy input, i.e. LESS change; they quantify change, not ground-truth
       quality). All four models run concurrently on TPU per request.</p>
   </div>
 </main>

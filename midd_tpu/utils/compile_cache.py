@@ -35,7 +35,13 @@ def enable_persistent_cache(
     cache_dir: Optional[str] = None, min_compile_secs: float = 0.5
 ) -> str:
     """Turn on JAX's persistent compilation cache. Idempotent; returns the
-    cache directory. Safe to call multiple times (last dir wins)."""
+    cache directory in effect. A dir the PROCESS already configured (e.g.
+    the test suite's conftest) is respected unless ``cache_dir`` is passed
+    explicitly — enabling the cache as a constructor side effect must not
+    clobber the embedding application's configuration."""
+    current = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if cache_dir is None and current:
+        return current
     d = cache_dir or DEFAULT_CACHE_DIR
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
@@ -61,7 +67,7 @@ def save_executable(compiled, path: str) -> None:
         pickle.dump(payload, f)
 
 
-def load_executable(path: str, in_tree_example=None):
+def load_executable(path: str):
     """Load a serialized executable; returns the compiled callable.
 
     Caveat: deserialization targets the loading process's FULL addressable
