@@ -108,6 +108,7 @@ def main():
         log(f"batch {batch}: {dt * 1000:.1f} ms/rollout -> {ips:.2f} img/s")
         if ips > best:
             best, best_batch = ips, batch
+            best_dt = dt
 
     if args.turbo:
         batch = best_batch
@@ -165,12 +166,38 @@ def main():
         dt_q = (time.time() - t) / 3
         log(f"int8-static batch {batch}: {dt_q * 1000:.1f} ms -> {batch / dt_q:.2f} img/s")
 
+    # MFU of record (round-2 verdict item 7): analytic dense-algebra FLOPs of
+    # the rollout (jaxpr walk; flash attention counted via the equivalent XLA
+    # attention graph) over the measured wall time, vs published chip peak.
+    from midd_tpu.utils.flops import count_flops, device_peak_tflops, mfu
+
+    count_model = UNetDiffusion(config.SERVE_DIFFUSION, dtype=dtype, use_flash=False)
+    xb = jnp.zeros((best_batch, size, size, 1), jnp.float32)
+    rollout_flops = count_flops(
+        lambda x: denoise(
+            lambda a, c, t: count_model.apply(variables, a, c, t),
+            x, schedule, inference_steps=steps,
+        ),
+        xb,
+    )
+    peak = device_peak_tflops(dev)
+    achieved_tflops = rollout_flops / best_dt / 1e12
+    mfu_frac = mfu(rollout_flops, best_dt, peak)
+    log(
+        f"MFU: {rollout_flops / 1e12:.2f} TFLOP/rollout in {best_dt * 1000:.1f} ms "
+        f"-> {achieved_tflops:.1f} TFLOP/s achieved = {mfu_frac * 100:.1f}% of "
+        f"{peak:.0f} TFLOP/s bf16 peak ({dev.device_kind})"
+    )
+
     baseline = 0.914  # P100 reference, normalised (see module docstring)
     result = {
         "metric": f"denoised images/sec/chip, {size}x{size} DDIM-{steps} (batch {best_batch}, bf16)",
         "value": round(best, 3),
         "unit": "images/sec",
         "vs_baseline": round(best / baseline, 2),
+        "achieved_tflops": round(achieved_tflops, 1),
+        "mfu": round(mfu_frac, 4),
+        "peak_tflops_assumed": peak,
     }
     print(json.dumps(result))
 

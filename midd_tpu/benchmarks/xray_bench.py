@@ -180,7 +180,10 @@ def score_fn(
     def _summ(vals):
         fin = [v[0] for v in vals if np.isfinite(v[0])]
         return {
-            "psnr": float(np.mean(fin)) if fin else float("inf"),
+            # every image exactly reconstructed -> no finite PSNR; emit None
+            # (strict-JSON-safe; json.dump would otherwise write the
+            # non-standard token Infinity)
+            "psnr": float(np.mean(fin)) if fin else None,
             "ssim": float(np.mean([v[1] for v in vals])),
             "n": len(vals),
         }
@@ -213,7 +216,9 @@ def format_table(results: Dict[str, Dict], noise_types=NOISE_TYPES) -> str:
         row = f"{name:<10}"
         for nt in list(noise_types) + ["overall"]:
             if nt in r:
-                row += f"{r[nt]['psnr']:>13.2f}/{r[nt]['ssim']:.4f}"
+                p = r[nt]["psnr"]
+                ps = "exact" if p is None else f"{p:.2f}"
+                row += f"{ps:>13}/{r[nt]['ssim']:.4f}"
             else:
                 row += f"{'-':>22}"
         lines.append(row)

@@ -92,11 +92,22 @@ class RouterConfig:
 
 @dataclass(frozen=True)
 class FusionConfig:
-    """FusionModule (hybrid/hybrid3diffusionspeed.py:537-557)."""
+    """FusionModule (hybrid/hybrid3diffusionspeed.py:537-557).
+
+    ``residual=True`` is a TPU-native beyond-parity variant (NOT in the
+    reference): the fusion stack predicts a CORRECTION added to the NAFNet
+    branch instead of re-synthesizing the image from scratch, and its final
+    1x1 conv is zero-initialised so training starts exactly at NAFNet
+    quality and can only improve from there. Rationale: at ~45 dB output
+    fidelity the reference's 12k-param synthesis head is itself the
+    quality ceiling (measured: hybrid 44.84 dB < plain NAFNet 45.42 dB on
+    xraybench-v1; see PARITY.md hybrid ablation table).
+    """
 
     in_c: int = 3
     out_c: int = 1
     base_c: int = 48
+    residual: bool = False
 
     def asdict(self):
         return _asdict(self)

@@ -35,6 +35,7 @@ def tconv(
     name: Optional[str] = None,
     dtype: Optional[Dtype] = None,
     quant: Any = False,
+    kernel_init: Any = None,
 ):
     """``nn.Conv`` with torch-style explicit symmetric padding (default k//2).
 
@@ -60,6 +61,7 @@ def tconv(
             dtype=dtype,
             mode=quant_mode(quant),
         )
+    init_kw = {} if kernel_init is None else {"kernel_init": kernel_init}
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -68,6 +70,7 @@ def tconv(
         use_bias=use_bias,
         name=name,
         dtype=dtype,
+        **init_kw,
     )
 
 

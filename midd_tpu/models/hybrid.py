@@ -65,7 +65,11 @@ class NoiseAnalyzer(nn.Module):
 
 class FusionModule(nn.Module):
     """Fusion epilogue (hybrid3diffusionspeed.py:537-557):
-    cat([fast, hq, mask]) -> 3x3(48)+GN8+GELU -> 3x3(24)+GN4+GELU -> 1x1."""
+    cat([fast, hq, mask]) -> 3x3(48)+GN8+GELU -> 3x3(24)+GN4+GELU -> 1x1.
+
+    ``cfg.residual=True`` (TPU-native variant, see FusionConfig): the 1x1
+    head is zero-initialised and its output ADDED to the NAFNet branch, so
+    the module computes a learned correction instead of a full synthesis."""
 
     cfg: FusionConfig = FusionConfig()
     dtype: Optional[Any] = None
@@ -85,6 +89,12 @@ class FusionModule(nn.Module):
         x = tconv(bc // 2, 3, name="conv2_0", dtype=dt)(x)
         x = GroupNorm32(num_groups=4, name="conv2_1")(x)
         x = _gelu(x)
+        if self.cfg.residual:
+            delta = tconv(
+                self.cfg.out_c, 1, name="out_conv", dtype=dt,
+                kernel_init=nn.initializers.zeros,
+            )(x)
+            return nafnet_out.astype(delta.dtype) + delta
         return tconv(self.cfg.out_c, 1, name="out_conv", dtype=dt)(x)
 
 

@@ -143,8 +143,16 @@ class QuantConv(nn.Module):
 
 def quant_mode(quant: Any) -> str:
     """Normalise the model-level ``quant`` flag: True -> 'dynamic' (round-2 v1
-    back-compat), else the mode string itself."""
-    return "dynamic" if quant is True else str(quant)
+    back-compat), else the mode string itself. Unknown strings raise —
+    QuantConv's branch chain would otherwise silently serve a typo (e.g.
+    'staic') on the slower dynamic path."""
+    mode = "dynamic" if quant is True else str(quant)
+    if mode not in ("dynamic", "static", "calibrate"):
+        raise ValueError(
+            f"unknown int8 quant mode {mode!r}: expected one of "
+            "'dynamic', 'static', 'calibrate' (or True for dynamic)"
+        )
+    return mode
 
 
 def calibrate_unet_rollout(

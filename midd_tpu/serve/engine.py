@@ -39,8 +39,11 @@ from midd_tpu.models import (
 )
 from midd_tpu.models.hybrid import hybrid_forward
 from midd_tpu.serve.codec import tensor_to_base64_png
+from midd_tpu.utils.logging import get_logger
 
 MODEL_NAMES = ("diffusion", "nafnet", "expert", "hybrid")
+
+log = get_logger("engine")
 
 
 @dataclass
@@ -273,6 +276,29 @@ class InferenceEngine:
         return {}
 
     @staticmethod
+    def _router_cfg_from_meta(meta: Dict, default):
+        d = meta.get("router_params") or {}
+        if "base_c" not in d:
+            return default
+        return config.RouterConfig(
+            in_c=int(d.get("in_c", default.in_c)),
+            out_c=int(d.get("out_c", default.out_c)),
+            base_c=int(d["base_c"]),
+        )
+
+    @staticmethod
+    def _fusion_cfg_from_meta(meta: Dict, default):
+        d = meta.get("fusion_params") or {}
+        if "base_c" not in d:
+            return default
+        return config.FusionConfig(
+            in_c=int(d.get("in_c", default.in_c)),
+            out_c=int(d.get("out_c", default.out_c)),
+            base_c=int(d["base_c"]),
+            residual=bool(d.get("residual", default.residual)),
+        )
+
+    @staticmethod
     def _nafnet_cfg_from_meta(meta: Dict, default):
         if "width" not in meta:
             return default
@@ -310,8 +336,8 @@ class InferenceEngine:
         qs = calibrate_unet_rollout(
             cal, {"params": variables["params"]}, schedule, batches, steps
         )
-        print(f"[engine] int8 calibration ({steps} steps x "
-              f"{len(batches)} batches) in {time.time() - t:.1f}s")
+        log.latency("int8_calibration", time.time() - t,
+                    steps=steps, batches=len(batches))
         return qs
 
     # -- graph construction --------------------------------------------------
@@ -433,6 +459,35 @@ class InferenceEngine:
                 diff_cfg, model_channels=int(kern.shape[-1])
             )
             unet_plain, unet = _mk_unets(diff_cfg)
+            # width inference only rescales the stem; a metadata-less
+            # checkpoint that ALSO differs in channel_mult/num_res_blocks
+            # would otherwise surface later as an opaque trace-time shape
+            # error — cross-check the full tree now and name the checkpoint
+            ref_shapes = jax.eval_shape(
+                lambda: unet_plain.init(jax.random.PRNGKey(0), x0, x0, t0)
+            )["params"]
+            ref_flat = {
+                jax.tree_util.keystr(k): tuple(v.shape)
+                for k, v in jax.tree_util.tree_flatten_with_path(ref_shapes)[0]
+            }
+            got_flat = {
+                jax.tree_util.keystr(k): tuple(np.shape(v))
+                for k, v in jax.tree_util.tree_flatten_with_path(
+                    v_diff_raw["params"]
+                )[0]
+            }
+            if ref_flat != got_flat:
+                diffs = sorted(
+                    set(ref_flat.items()) ^ set(got_flat.items())
+                )[:6]
+                raise ValueError(
+                    f"diffusion checkpoint {os.path.join(self.cfg.ckpt_dir, 'diffusion')!r} "
+                    f"has no arch metadata and does not match the width-"
+                    f"inferred config (model_channels={diff_cfg.model_channels}); "
+                    f"likely differing channel_mult/num_res_blocks. First "
+                    f"mismatches: {diffs}. Re-save the checkpoint with arch "
+                    f"metadata or pass an explicit diffusion_cfg."
+                )
         noise_steps = int(
             self.meta["diffusion"].get("noise_steps", schedule.noise_steps)
         )
@@ -498,8 +553,12 @@ class InferenceEngine:
             else schedule
         )
 
-        router = NoiseAnalyzer(cfg.router_cfg, dtype=dt)
-        fusion = FusionModule(cfg.fusion_cfg, dtype=dt)
+        router = NoiseAnalyzer(
+            self._router_cfg_from_meta(hmeta, cfg.router_cfg), dtype=dt
+        )
+        fusion = FusionModule(
+            self._fusion_cfg_from_meta(hmeta, cfg.fusion_cfg), dtype=dt
+        )
         hyb_unet_plain = UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
         hyb_unet = (
             UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt, quant=qmode)
@@ -667,7 +726,7 @@ class InferenceEngine:
                 t = time.time()
                 out = fn(xw)
                 jax.tree_util.tree_map(np.asarray, out)  # forced materialisation
-                print(f"[engine] compiled {name} in {time.time() - t:.1f}s")
+                log.latency("warmup_compile", time.time() - t, model=name)
 
         self.batcher = None
         if cfg.batching:
@@ -748,7 +807,7 @@ class InferenceEngine:
         t0 = time.time()
         out = np.asarray(self.fns[name](jnp.asarray(x)))
         result = tensor_to_base64_png(out, original_size)
-        print(f"  {name}: {time.time() - t0:.2f}s")
+        log.latency("request", time.time() - t0, model=name)
         return result
 
     def process_all(self, x: np.ndarray, original_size) -> Dict[str, Optional[str]]:
@@ -764,7 +823,7 @@ class InferenceEngine:
                 results[name] = (
                     None if o is None else tensor_to_base64_png(o, original_size)
                 )
-            print(f"all 4 models processed in {time.time() - t_start:.2f}s (batched)")
+            log.latency("request_all", time.time() - t_start, mode="batched")
             return results
         outs: Dict[str, Any] = {}
         xj = jnp.asarray(x)
@@ -778,14 +837,14 @@ class InferenceEngine:
                     k: np.asarray(v) for k, v in dict(self.fused(xj)).items()
                 }
             except Exception as e:  # noqa: BLE001
-                print(f"  fused dispatch failed ({e}); per-path fallback")
+                log.log("fused_dispatch_failed", error=str(e))
                 outs = {}
         if not outs:
             for name in MODEL_NAMES:
                 try:
                     outs[name] = self.fns[name](xj)  # async dispatch
                 except Exception as e:  # noqa: BLE001
-                    print(f"  {name} failed: {e}")
+                    log.log("model_failed", model=name, error=str(e))
                     outs[name] = None
         results: Dict[str, Optional[str]] = {}
         for name in MODEL_NAMES:
@@ -795,11 +854,11 @@ class InferenceEngine:
             try:
                 t0 = time.time()
                 results[name] = tensor_to_base64_png(np.asarray(outs[name]), original_size)
-                print(f"  {name}: {time.time() - t0:.2f}s (encode)")
+                log.latency("encode", time.time() - t0, model=name)
             except Exception as e:  # noqa: BLE001
-                print(f"  {name} failed: {e}")
+                log.log("model_failed", model=name, error=str(e))
                 results[name] = None
-        print(f"all 4 models processed in {time.time() - t_start:.2f}s")
+        log.latency("request_all", time.time() - t_start, mode="per_path")
         return results
 
     def health(self) -> Dict:

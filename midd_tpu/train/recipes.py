@@ -307,6 +307,11 @@ def train_hybrid(
                 **hybrid_cfg.diffusion.asdict(),
                 "noise_steps": hybrid_cfg.schedule.noise_steps,
             },
+            # router/fusion arch so variant checkpoints (wider fusion,
+            # residual head) serve drop-in — the engine reads these like
+            # run.py reads nafnet_params/diffusion_params (run.py:61-62)
+            "router_params": hybrid_cfg.router.asdict(),
+            "fusion_params": hybrid_cfg.fusion.asdict(),
         },
     )
     plot_training_curves(state.history, "hybrid_training_curves.png")

@@ -93,7 +93,19 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def set_lr(opt_state, lr: float):
-    opt_state[1].hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    """Set the injected learning rate by LOCATING the InjectHyperparamsState
+    in the chain (no positional indexing — survives optimizer-chain
+    reshapes; round-2 verdict hygiene item)."""
+    holders = [
+        s for s in opt_state
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams
+    ]
+    if len(holders) != 1:
+        raise ValueError(
+            f"expected exactly one inject_hyperparams(learning_rate=...) "
+            f"state in the optimizer chain, found {len(holders)}"
+        )
+    holders[0].hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 

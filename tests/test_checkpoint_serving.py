@@ -238,3 +238,46 @@ def test_engine_reads_diffusion_arch_from_metadata(rng, tmp_path):
     out = np.asarray(engine.fns["diffusion"](x))
     assert out.shape == (1, 16, 16, 1)
     assert np.isfinite(out).all()
+
+
+def test_engine_reads_router_fusion_arch_from_hybrid_metadata(rng, tmp_path):
+    """Hybrid variant checkpoints (wider fusion, residual head) serve drop-in:
+    the engine builds router/fusion from the checkpoint's router_params/
+    fusion_params metadata, overriding the static configs — same rule as
+    nafnet_params/diffusion_params (run.py:61-62)."""
+    from midd_tpu.models import FusionModule, NoiseAnalyzer
+    from midd_tpu.utils.checkpoint import save_checkpoint
+
+    r_cfg = config.RouterConfig(base_c=16)          # != engine default below
+    f_cfg = config.FusionConfig(base_c=32, residual=True)
+    x0 = jnp.zeros((1, 16, 16, 1))
+    router_p = NoiseAnalyzer(r_cfg).init(jax.random.PRNGKey(0), x0)["params"]
+    fusion_p = FusionModule(f_cfg).init(
+        jax.random.PRNGKey(1), x0, x0, x0
+    )["params"]
+    save_checkpoint(
+        str(tmp_path / "hybrid"),
+        {"params": {"router": router_p, "fusion": fusion_p}},
+        {"router_params": r_cfg.asdict(), "fusion_params": f_cfg.asdict()},
+    )
+
+    engine = InferenceEngine(
+        EngineConfig(
+            img_size=16,
+            diffusion_steps=2,
+            hybrid_diffusion_steps=2,
+            nafnet_cfg=config.NAFNetConfig(width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)),
+            diffusion_cfg=config.DiffusionUNetConfig(model_channels=8, channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(1,), time_emb_dim=16),
+            expert_cfg=config.ExpertConfig(base_channels=8),
+            # deliberately WRONG static configs: metadata must win
+            router_cfg=config.RouterConfig(base_c=8),
+            fusion_cfg=config.FusionConfig(base_c=16),
+            schedule_cfg=config.ScheduleConfig(noise_steps=6),
+            ckpt_dir=str(tmp_path),
+            warmup=False,
+        )
+    )
+    x = jnp.asarray(np.clip(rng.random((1, 16, 16, 1), dtype=np.float32), 0, 1))
+    out = np.asarray(engine.fns["hybrid"](x))
+    assert out.shape == (1, 16, 16, 1)
+    assert np.isfinite(out).all()

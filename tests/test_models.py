@@ -105,6 +105,26 @@ def test_fusion_param_count(key):
     assert y.shape == (1, 64, 64, 1)
 
 
+def test_fusion_residual_variant(key):
+    """TPU-native residual fusion (FusionConfig.residual): identical param
+    tree to the reference head, but zero-init 1x1 correction ADDED to the
+    NAFNet branch — at init the output IS the fast path exactly."""
+    fast = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 1))
+    hq = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 1))
+    mask = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 1))
+
+    res = FusionModule(config.FusionConfig(residual=True))
+    v = jax.jit(res.init)(key, fast, hq, mask)
+    assert n_params(v["params"]) == 11_905  # same tree as the plain head
+    out = jax.jit(res.apply)(v, fast, hq, mask)
+    assert jnp.allclose(out, fast), "residual head must start at identity"
+
+    plain = FusionModule(config.FusionConfig())
+    vp = jax.jit(plain.init)(key, fast, hq, mask)
+    # the trees interchange structurally (drop-in checkpoints)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+
+
 def test_tiny_unet_param_count(key):
     model = TinyUNet(config.TINY_UNET)
     x = jnp.zeros((1, 64, 64, 1))
