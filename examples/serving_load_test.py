@@ -82,6 +82,13 @@ def main():
                     help="comma-separated batch buckets, e.g. 1,2,4")
     ap.add_argument("--no-fused", action="store_true",
                     help="disable the fused single-program request path")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="queue-pressure turbo escalation (gated tiers, "
+                         "EngineConfig.adaptive_turbo)")
+    ap.add_argument("--queue-depth", type=int, default=3,
+                    help="escalation threshold (adaptive_queue_depth)")
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="bounded admission: reject (503) beyond this depth")
     args = ap.parse_args()
 
     from midd_tpu.serve.server import EngineConfig, make_server
@@ -95,6 +102,11 @@ def main():
         kw["batch_buckets"] = tuple(int(b) for b in args.buckets.split(","))
     if args.no_fused:
         kw["fused_request"] = False
+    if args.adaptive:
+        kw["adaptive_turbo"] = True
+        kw["adaptive_queue_depth"] = args.queue_depth
+    if args.max_queue is not None:
+        kw["max_queue_depth"] = args.max_queue
     cfg = EngineConfig(
         img_size=args.img_size,
         ckpt_dir=args.ckpt_dir,
@@ -158,6 +170,12 @@ def main():
         "req_per_s": round(n / wall, 3),
         "batch_buckets": buckets,
     }
+    if args.batching:
+        result["batcher_stats"] = (
+            server.RequestHandlerClass.engine.batcher.stats
+        )
+    if args.adaptive:
+        result["adaptive"] = {"queue_depth": args.queue_depth}
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

@@ -19,7 +19,7 @@ Semantics replicated exactly:
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,7 @@ def denoise(
     query_noise_scale: float = 0.5,
     key: Optional[jax.Array] = None,
     eps_reuse: int = 1,
+    eps_refresh_idx: Optional[Sequence[int]] = None,
     noise_seq: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the reverse rollout. ``eps_fn(x, condition, t)`` is the UNet apply
@@ -50,6 +51,13 @@ def denoise(
     evaluated only on every k-th step and the predicted noise is reused in
     between (epsilon varies slowly along the short deterministic trajectory).
     k=2 halves UNet evaluations. Default k=1 is exact.
+
+    ``eps_refresh_idx`` generalizes that to an ARBITRARY static set of scan
+    indices that compute fresh epsilon (everything else reuses the last one);
+    it overrides ``eps_reuse``. Index 0 must be present (there is nothing to
+    reuse yet). Rationale: the uniform-stride schedule is measurably the
+    wrong one — see ``refresh_schedule`` and the round-3 turbo study in
+    PARITY.md (which steps keep fresh eps matters more than how many).
     """
     ts = jnp.asarray(
         timestep_sequence(schedule.noise_steps, inference_steps), jnp.int32
@@ -74,7 +82,30 @@ def denoise(
             if stochastic
             else jnp.zeros((n_steps, 2), jnp.uint32)
         )
-    idxs = jnp.arange(n_steps, dtype=jnp.int32)
+    if eps_refresh_idx is not None:
+        if hasattr(eps_refresh_idx, "dtype"):  # np/jnp array or tracer
+            # runtime bool mask (length n_steps): lets a study sweep many
+            # schedules through ONE compiled program (each static index set
+            # would otherwise be its own XLA compile over the TPU tunnel)
+            refresh = jnp.asarray(eps_refresh_idx, jnp.bool_)
+            if refresh.shape != (n_steps,):
+                raise ValueError(
+                    f"refresh mask shape {refresh.shape} != ({n_steps},) "
+                    f"(the ACTUAL rollout length from timestep_sequence, "
+                    f"not the requested inference_steps)"
+                )
+            reuse_active = True
+        else:
+            refresh_set = set(int(i) for i in eps_refresh_idx)
+            if 0 not in refresh_set:
+                raise ValueError("eps_refresh_idx must contain step 0")
+            refresh = jnp.asarray(
+                [i in refresh_set for i in range(n_steps)], jnp.bool_
+            )
+            reuse_active = len(refresh_set) < n_steps
+    else:
+        refresh = (jnp.arange(n_steps, dtype=jnp.int32) % eps_reuse) == 0
+        reuse_active = eps_reuse > 1
 
     def compute_eps(x, t_b):
         eps = eps_fn(x, noisy, t_b)
@@ -84,11 +115,11 @@ def denoise(
 
     def step(carry, scan_in):
         x, eps_prev = carry
-        t, k, i = scan_in
+        t, k, fresh = scan_in
         t_b = jnp.full((batch,), t, jnp.int32)
-        if eps_reuse > 1:
+        if reuse_active:
             eps = jax.lax.cond(
-                i % eps_reuse == 0,
+                fresh,
                 lambda operands: compute_eps(*operands),
                 lambda operands: eps_prev,
                 (x, t_b),
@@ -111,8 +142,49 @@ def denoise(
         return (x_next, eps), None
 
     eps0 = jnp.zeros(noisy.shape, jnp.float32)
-    (x_final, _), _ = jax.lax.scan(step, (noisy, eps0), (ts, keys, idxs))
+    (x_final, _), _ = jax.lax.scan(step, (noisy, eps0), (ts, keys, refresh))
     return x_final
+
+
+def refresh_schedule(n_steps: int, n_evals: int, mode: str = "uniform"):
+    """Which scan indices compute fresh epsilon, for a budget of ``n_evals``
+    UNet evaluations over ``n_steps`` rollout steps.
+
+    Modes (all include index 0; measured against ground truth in the round-3
+    turbo study, PARITY.md):
+    - "uniform":   evenly spaced (the FORA-style stride schedule);
+    - "last":      evenly spaced over the first steps, but the FINAL step is
+                   always fresh (the last update has the largest per-step
+                   error amplification into the output);
+    - "front":     all evals at the start, frozen eps for the tail;
+    - "tail":      index 0 plus the last n_evals-1 steps fresh.
+    """
+    if n_evals >= n_steps:
+        return tuple(range(n_steps))
+    if n_evals < 1:
+        raise ValueError("n_evals must be >= 1")
+    if mode == "uniform":
+        # even spacing by rounding (n_evals points over [0, n_steps))
+        idx = {int(round(i * n_steps / n_evals)) for i in range(n_evals)}
+    elif mode == "last":
+        idx = {n_steps - 1} | {
+            int(round(i * (n_steps - 1) / max(1, n_evals - 1)))
+            for i in range(n_evals - 1)
+        }
+        # rounding can collide with the forced last step; backfill earlier
+        # slots until the eval budget is spent
+        i = n_steps - 2
+        while len(idx) < n_evals and i > 0:
+            idx.add(i)
+            i -= 1
+    elif mode == "front":
+        idx = set(range(n_evals))
+    elif mode == "tail":
+        idx = {0} | set(range(n_steps - (n_evals - 1), n_steps))
+    else:
+        raise ValueError(f"unknown refresh mode {mode!r}")
+    idx.add(0)
+    return tuple(sorted(idx))
 
 
 def noise_images(

@@ -41,6 +41,7 @@ def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    initialization_timeout: Optional[float] = None,
 ) -> bool:
     """Initialize the JAX multi-process runtime (one process per host).
 
@@ -60,11 +61,17 @@ def init_distributed(
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         return False  # single-process run; nothing to do
+    kw = {}
+    if initialization_timeout is not None:
+        # bounded rendezvous (default upstream is 300 s) — lets launchers and
+        # the fail-fast test surface a dead coordinator quickly
+        kw["initialization_timeout"] = initialization_timeout
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kw,
         )
         return True
     except RuntimeError as e:
@@ -179,13 +186,19 @@ def mesh_fabric_report(mesh: Mesh, devices_per_slice: Optional[int] = None) -> d
     invariant (sp/tp never cross)."""
     devs = mesh.devices
     n = devs.size
+    # explicit devices_per_slice takes precedence over any hardware
+    # slice_index (distributed CPU devices can report slice_index=0 for
+    # every process, which would hide the DCN boundary the caller modelled)
+    flat = list(devs.ravel())
+    order = {id(d): i for i, d in enumerate(sorted(flat, key=lambda d: (d.process_index, d.id)))}
 
     def slice_of(d) -> int:
+        if devices_per_slice is not None:
+            return order[id(d)] // devices_per_slice
         s = _slice_index(d)
         if s is not None:
             return s
-        per = devices_per_slice or n
-        return int(d.id) // per
+        return int(d.id) // n
 
     report = {}
     for ax, name in enumerate(mesh.axis_names):

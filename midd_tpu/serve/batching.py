@@ -27,6 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class QueueFull(RuntimeError):
+    """Raised by submit() when bounded admission rejects a request (the
+    server maps it to HTTP 503 — backpressure instead of unbounded latency)."""
+
+
 class MicroBatcher:
     def __init__(
         self,
@@ -35,16 +40,30 @@ class MicroBatcher:
         max_wait_ms: float = 4.0,
         warmup_shape: Optional[tuple] = None,
         fused_fn: Optional[Callable] = None,
+        turbo_fns: Optional[Dict[str, Callable]] = None,
+        turbo_queue_depth: int = 3,
+        max_queue_depth: Optional[int] = None,
     ):
         self.fns = fns
         # one jitted program returning {model: batch} — used instead of the
         # per-model dispatch loop when set (shared-subgraph serving; per-model
         # isolation is recovered by falling back on exception)
         self.fused_fn = fused_fn
+        # LOAD-ADAPTIVE degradation: when the queue depth at dispatch time is
+        # >= turbo_queue_depth, the models named in turbo_fns run their
+        # quality-gated turbo programs instead (the rest keep the exact
+        # paths). The saturated-load pressure valve for 512² serving.
+        self.turbo_fns = turbo_fns or {}
+        self.turbo_queue_depth = turbo_queue_depth
+        # bounded admission: submit() raises QueueFull beyond this depth
+        self.max_queue_depth = max_queue_depth
         self.buckets = sorted(buckets)
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
-        self._stats = {"requests": 0, "batches": 0, "max_batch": 0}
+        self._stats = {
+            "requests": 0, "batches": 0, "max_batch": 0,
+            "turbo_batches": 0, "rejected": 0,
+        }
         self._stop = False
         if warmup_shape is not None:
             h, w, c = warmup_shape
@@ -55,6 +74,8 @@ class MicroBatcher:
                 # collector loop would stall every queued request
                 for fn in fns.values():
                     fn(x).block_until_ready()
+                for fn in self.turbo_fns.values():
+                    fn(x).block_until_ready()
                 if fused_fn is not None:
                     for o in fused_fn(x).values():
                         o.block_until_ready()
@@ -62,7 +83,17 @@ class MicroBatcher:
         self._thread.start()
 
     def submit(self, x: np.ndarray) -> Future:
-        """x: (1, H, W, C). Returns a Future of {model: (1,H,W,C) ndarray}."""
+        """x: (1, H, W, C). Returns a Future of {model: (1,H,W,C) ndarray}.
+        Raises QueueFull when bounded admission is on and the queue is at
+        capacity."""
+        if (
+            self.max_queue_depth is not None
+            and self._q.qsize() >= self.max_queue_depth
+        ):
+            self._stats["rejected"] += 1
+            raise QueueFull(
+                f"request queue at capacity ({self.max_queue_depth})"
+            )
         fut: Future = Future()
         self._q.put((x, fut))
         return fut
@@ -125,11 +156,20 @@ class MicroBatcher:
                 pad = np.repeat(arr[-1:], bucket - n, axis=0)
                 arr = np.concatenate([arr, pad], axis=0)
 
+            # queue-pressure escalation: depth measured AFTER collecting this
+            # batch = requests that will wait at least one more device round
+            turbo = bool(self.turbo_fns) and (
+                self._q.qsize() >= self.turbo_queue_depth
+            )
+            fns = {**self.fns, **self.turbo_fns} if turbo else self.fns
+            if turbo:
+                self._stats["turbo_batches"] += 1
+
             # per-model exception isolation: a failed model yields None for
             # every request in the batch (mirrors run.py:96-101 semantics)
             xj = jnp.asarray(arr)
             outs = {}
-            if self.fused_fn is not None:
+            if self.fused_fn is not None and not turbo:
                 # materialise INSIDE the try: device errors surface at
                 # np.asarray, not dispatch — only then is the fused result
                 # proven good, else fall back to the per-path programs
@@ -142,7 +182,7 @@ class MicroBatcher:
                     outs = {}
             if not outs:
                 pending = {}
-                for name, fn in self.fns.items():
+                for name, fn in fns.items():
                     try:
                         pending[name] = fn(xj)  # async dispatch
                     except Exception:  # noqa: BLE001

@@ -141,6 +141,30 @@ class EngineConfig:
     #   True / "dynamic" — per-call abs-max scales (no calibration, but each
     #     conv pays a full-tensor reduction; measured SLOWER end-to-end).
     quantize_int8: Any = False
+    # LOAD-ADAPTIVE turbo (requires batching=True): when the request queue
+    # depth at dispatch time reaches adaptive_queue_depth, the heavy paths
+    # (diffusion + hybrid) switch to their quality-gated turbo programs —
+    # the saturated-load pressure valve the round-2 verdict asked for
+    # (512²: the chip saturates at batch 1 and p50 grows with the queue;
+    # the gated levers sat unused). Tier settings accept an int k
+    # (eps_reuse) or a tuple of refresh indices (sampler.eps_refresh_idx,
+    # e.g. from the round-3 turbo schedule study).
+    adaptive_turbo: bool = False
+    adaptive_queue_depth: int = 3
+    adaptive_diffusion_eps: Any = 3   # gated: -0.14 dB for 2.28x (PARITY.md)
+    adaptive_hybrid_eps: Any = 3      # gated: quality-equal, 1.94x
+    # bounded admission: batcher.submit raises QueueFull beyond this many
+    # waiting requests (the HTTP layer answers 503). None = unbounded.
+    max_queue_depth: Optional[int] = None
+    # AOT executable pinning (round-2 verdict item 8): serialize the exact
+    # serving executables (per model x batch bucket) into this dir at first
+    # warmup and LOAD them on later starts — cold start independent of
+    # .xla_cache eviction / lazy-trace costs. Single-device engines only
+    # (deserialization targets the process's full addressable device set,
+    # see utils/compile_cache.load_executable). Fingerprints cover arch,
+    # shapes, step counts, eps settings, dtype, jax version, device kind;
+    # stale or foreign-topology files are recompiled and overwritten.
+    aot_dir: Optional[str] = None
 
 
 class InferenceEngine:
@@ -504,12 +528,25 @@ class InferenceEngine:
             }
         v_diff = self._shard(v_diff_raw)
 
-        def diffusion_fn(x):
-            eps = lambda a, c, t: unet.apply(v_diff, a, c, t)
-            out = denoise(
-                eps, x, schedule, cfg.diffusion_steps, eps_reuse=cfg.turbo_eps_reuse
-            )
-            return jnp.clip(out, 0.0, 1.0)
+        def _eps_kwargs(setting) -> Dict[str, Any]:
+            """int k -> uniform eps_reuse; tuple/list -> explicit refresh
+            index set (sampler.eps_refresh_idx)."""
+            if isinstance(setting, (tuple, list)):
+                return {"eps_refresh_idx": tuple(int(i) for i in setting)}
+            return {"eps_reuse": int(setting)}
+
+        def make_diffusion_fn(eps_setting):
+            def fn(x):
+                eps = lambda a, c, t: unet.apply(v_diff, a, c, t)
+                out = denoise(
+                    eps, x, schedule, cfg.diffusion_steps,
+                    **_eps_kwargs(eps_setting),
+                )
+                return jnp.clip(out, 0.0, 1.0)
+
+            return fn
+
+        diffusion_fn = make_diffusion_fn(cfg.turbo_eps_reuse)
 
         # NAFNet path (arch from checkpoint metadata when present, run.py:45-47)
         naf_cfg = self._nafnet_cfg_from_meta(self._peek_meta("nafnet"), cfg.nafnet_cfg)
@@ -624,21 +661,26 @@ class InferenceEngine:
             hk = cfg.turbo_eps_reuse if fused_will_share else 2
         self.hybrid_eps_reuse = hk
 
-        def hybrid_fn(x):
-            out = hybrid_forward(
-                lambda a: hyb_naf.apply({"params": v_h["nafnet"]}, a),
-                lambda a: denoise(
-                    lambda b, c, t: hyb_unet.apply(hv_unet, b, c, t),
-                    a,
-                    hschedule,
-                    cfg.hybrid_diffusion_steps,
-                    eps_reuse=hk,
-                ),
-                lambda a: router.apply({"params": v_h["router"]}, a),
-                lambda a, b, m: fusion.apply({"params": v_h["fusion"]}, a, b, m),
-                x,
-            )
-            return jnp.clip(out, 0.0, 1.0)
+        def make_hybrid_fn(eps_setting):
+            def fn(x):
+                out = hybrid_forward(
+                    lambda a: hyb_naf.apply({"params": v_h["nafnet"]}, a),
+                    lambda a: denoise(
+                        lambda b, c, t: hyb_unet.apply(hv_unet, b, c, t),
+                        a,
+                        hschedule,
+                        cfg.hybrid_diffusion_steps,
+                        **_eps_kwargs(eps_setting),
+                    ),
+                    lambda a: router.apply({"params": v_h["router"]}, a),
+                    lambda a, b, m: fusion.apply({"params": v_h["fusion"]}, a, b, m),
+                    x,
+                )
+                return jnp.clip(out, 0.0, 1.0)
+
+            return fn
+
+        hybrid_fn = make_hybrid_fn(hk)
 
         raw_fns = {
             "diffusion": diffusion_fn,
@@ -646,6 +688,14 @@ class InferenceEngine:
             "expert": expert_fn,
             "hybrid": hybrid_fn,
         }
+        # queue-pressure turbo tier for the two rollout-bound paths (see
+        # EngineConfig.adaptive_turbo); compiled alongside the exact paths
+        raw_turbo = None
+        if cfg.adaptive_turbo:
+            raw_turbo = {
+                "diffusion": make_diffusion_fn(cfg.adaptive_diffusion_eps),
+                "hybrid": make_hybrid_fn(cfg.adaptive_hybrid_eps),
+            }
 
         # Fused single-program request path (see EngineConfig.fused_request).
         share_backends = fell_back
@@ -712,9 +762,46 @@ class InferenceEngine:
                 if raw_fused is not None
                 else None
             )
+            self.turbo_fns = (
+                {
+                    n: jax.jit(f, in_shardings=bs, out_shardings=bs)
+                    for n, f in raw_turbo.items()
+                }
+                if raw_turbo is not None
+                else None
+            )
         else:
             self.fns = {n: jax.jit(f) for n, f in raw_fns.items()}
             self.fused = jax.jit(raw_fused) if raw_fused is not None else None
+            self.turbo_fns = (
+                {n: jax.jit(f) for n, f in raw_turbo.items()}
+                if raw_turbo is not None
+                else None
+            )
+
+        # resolve batch buckets once (batcher + AOT pinning both need them)
+        buckets = cfg.batch_buckets
+        if buckets == "auto":
+            buckets = (1, 2, 4, 8) if cfg.img_size <= 256 else (1,)
+        if (
+            cfg.batching
+            and self.mesh is not None
+            and self.mesh.shape["dp"] > 1
+        ):
+            dp = self.mesh.shape["dp"]
+            buckets = tuple(sorted({-(-b // dp) * dp for b in buckets}))
+
+        self.aot_report: Dict[str, Any] = {}
+        if cfg.aot_dir:
+            if self.mesh is not None or len(jax.devices()) > 1:
+                raise ValueError(
+                    "aot_dir requires a single-device process: deserialized "
+                    "executables target the process's FULL addressable "
+                    "device set (utils/compile_cache.load_executable), so a "
+                    "pin compiled single-device cannot execute on a multi-"
+                    "device runtime"
+                )
+            self._pin_executables(tuple(buckets) if cfg.batching else (1,))
 
         if cfg.warmup:
             wb = self.mesh.shape["dp"] if self.mesh is not None else 1
@@ -732,26 +819,93 @@ class InferenceEngine:
         if cfg.batching:
             from midd_tpu.serve.batching import MicroBatcher
 
-            buckets = cfg.batch_buckets
-            if buckets == "auto":
-                buckets = (1, 2, 4, 8) if cfg.img_size <= 256 else (1,)
-            # batched programs run with the engine's in_shardings: every
-            # bucket must be divisible by the mesh's dp axis (a size-1 batch
-            # cannot shard 8 ways) — round auto/explicit buckets up to dp
-            # multiples and dedupe
-            if self.mesh is not None and self.mesh.shape["dp"] > 1:
-                dp = self.mesh.shape["dp"]
-                buckets = tuple(sorted({-(-b // dp) * dp for b in buckets}))
+            # buckets resolved above (dp-rounded when mesh-sharded: a size-1
+            # batch cannot shard 8 ways)
             self.batcher = MicroBatcher(
                 self.fns,
                 buckets=tuple(buckets),
                 max_wait_ms=cfg.batch_max_wait_ms,
                 warmup_shape=(s, s, 1) if cfg.warmup else None,
                 fused_fn=self.fused,
+                turbo_fns=self.turbo_fns,
+                turbo_queue_depth=cfg.adaptive_queue_depth,
+                max_queue_depth=cfg.max_queue_depth,
             )
 
         for n in MODEL_NAMES:
             self.loaded[n] = True
+
+    def _ckpt_ident(self) -> str:
+        """Weight identity for AOT fingerprints: pinned executables BAKE the
+        weights in as constants, so a changed checkpoint must invalidate the
+        pin (path + mtime per model; 'demo' for seeded-random weights)."""
+        parts = []
+        for name in MODEL_NAMES:
+            p = os.path.join(self.cfg.ckpt_dir, name)
+            for cand in (p, p + ".pth"):
+                if os.path.exists(cand):
+                    parts.append(f"{name}:{cand}:{os.path.getmtime(cand)}")
+                    break
+            else:
+                parts.append(f"{name}:demo")
+        return "|".join(parts)
+
+    def _pin_executables(self, batches: Tuple[int, ...]) -> None:
+        """AOT-pin every serving program (model x batch bucket): load from
+        cfg.aot_dir when a matching pin exists, else compile once and
+        serialize. Replaces each self.fns entry with an AotDispatch that
+        serves pinned shapes and falls back to jit for others."""
+        from midd_tpu.utils.compile_cache import (
+            AotDispatch,
+            aot_fingerprint,
+            pin_or_load,
+        )
+
+        cfg = self.cfg
+        s = cfg.img_size
+        weights_id = self._ckpt_ident()
+        t_all = time.time()
+        named = dict(self.fns)
+        if self.turbo_fns:
+            named.update({f"turbo@{k}": v for k, v in self.turbo_fns.items()})
+        for name, fn in named.items():
+            execs = {}
+            for b in batches:
+                key = aot_fingerprint(
+                    model=name,
+                    batch=int(b),
+                    img_size=s,
+                    steps=(cfg.diffusion_steps, cfg.hybrid_diffusion_steps),
+                    eps=(
+                        cfg.turbo_eps_reuse,
+                        self.hybrid_eps_reuse,
+                        cfg.adaptive_diffusion_eps if cfg.adaptive_turbo else None,
+                        cfg.adaptive_hybrid_eps if cfg.adaptive_turbo else None,
+                    ),
+                    dtype=str(cfg.compute_dtype),
+                    quant=str(cfg.quantize_int8),
+                    flash=bool(cfg.use_flash_attention),
+                    weights=weights_id,
+                )
+                path = os.path.join(cfg.aot_dir, f"{name}_b{b}_{key}.jx")
+                t = time.time()
+                compiled, loaded = pin_or_load(
+                    fn, (jnp.zeros((b, s, s, 1), jnp.float32),), path
+                )
+                execs[int(b)] = compiled
+                self.aot_report[f"{name}_b{b}"] = {
+                    "loaded": loaded, "secs": round(time.time() - t, 2),
+                }
+                log.latency(
+                    "aot_load" if loaded else "aot_compile",
+                    time.time() - t, model=name, batch=int(b),
+                )
+            if name.startswith("turbo@"):
+                self.turbo_fns[name.split("@", 1)[1]] = AotDispatch(fn, execs)
+            else:
+                self.fns[name] = AotDispatch(fn, execs)
+        log.latency("aot_ready", time.time() - t_all,
+                    n=len(self.aot_report))
 
     def _variables_for_hybrid(self, naf, unet, router, fusion, x0, t0):
         """Hybrid checkpoint layout: one tree with nafnet/diffusion_unet/

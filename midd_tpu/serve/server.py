@@ -23,6 +23,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
+from midd_tpu.serve.batching import QueueFull
 from midd_tpu.serve.codec import decode_to_tensor
 from midd_tpu.serve.engine import EngineConfig, InferenceEngine
 
@@ -98,6 +99,16 @@ class _Handler(BaseHTTPRequestHandler):
             x, original_size = decode_to_tensor(file_bytes, self.img_size)
             results = self.engine.process_all(x, original_size)
             self._json(results)
+        except QueueFull as e:
+            # bounded admission (EngineConfig.max_queue_depth): shed load
+            # with an explicit retryable status instead of unbounded latency
+            self.send_response(503)
+            self.send_header("Retry-After", "1")
+            data = json.dumps({"detail": str(e)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
         except Exception as e:  # noqa: BLE001  (run.py:210-213)
             import traceback
 

@@ -268,19 +268,16 @@ def train_hybrid(
         "fusion": jax.jit(fusion.init)(keys[1], sample, sample, sample)["params"],
     }
 
-    naf_apply = lambda x: naf.apply({"params": naf_params}, x)
-    den_train = lambda x: denoise(
-        lambda a, c, t: unet.apply({"params": unet_params}, a, c, t),
-        x,
-        schedule,
-        hybrid_cfg.training_diffusion_steps,
-    )
+    # frozen backends ride the Trainer's runtime-argument path — closure
+    # capture would bake them into the XLA program as constants (a w96
+    # backend is ~200 MB, which the remote-compile tunnel rejects)
+    frozen = {"nafnet": naf_params, "unet": unet_params}
 
-    def eval_fn(p, extra, clean, noisy):
+    def eval_fn(p, extra, clean, noisy, frozen):
         return hybrid_forward(
-            naf_apply,
+            lambda x: naf.apply({"params": frozen["nafnet"]}, x),
             lambda x: denoise(
-                lambda a, c, t: unet.apply({"params": unet_params}, a, c, t),
+                lambda a, c, t: unet.apply({"params": frozen["unet"]}, a, c, t),
                 x,
                 schedule,
                 hybrid_cfg.inference_diffusion_steps,
@@ -291,10 +288,14 @@ def train_hybrid(
         )
 
     trainer = Trainer(
-        loss_fn=hybrid_loss_fn(naf_apply, den_train, router, fusion),
+        loss_fn=hybrid_loss_fn(
+            naf, unet, router, fusion, schedule,
+            hybrid_cfg.training_diffusion_steps,
+        ),
         eval_fn=eval_fn,
         cfg=cfg,
         init_params=trainable,
+        frozen=frozen,
     )
     if resume:
         trainer.resume(resume)
@@ -396,6 +397,11 @@ def main():
                     help="tiny = smoke-test widths (verify the pipeline "
                          "before committing TPU-hours)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--mesh", default=None, metavar="DP,SP,TP",
+                    help="multi-chip training mesh, e.g. '4,1,1' for 4-way "
+                         "data parallelism or '2,1,2' for dp2 x tp2; batches "
+                         "shard over dp, image rows over sp, large kernels "
+                         "over tp (XLA inserts the collectives)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -420,6 +426,9 @@ def main():
         overrides["batch_size"] = args.batch_size
     if args.lr:
         overrides["lr"] = args.lr
+    if args.mesh:
+        dp, sp, tp = (int(x) for x in args.mesh.split(","))
+        overrides["mesh_shape"] = (dp, sp, tp)
 
     defaults = {
         "nafnet": TrainConfig(epochs=50, batch_size=2, lr=2e-4, weight_decay=1e-4,

@@ -80,3 +80,78 @@ def load_executable(path: str):
     with open(path, "rb") as f:
         payload = pickle.load(f)
     return serialize_executable.deserialize_and_load(*payload)
+
+
+def aot_fingerprint(**kwargs) -> str:
+    """Stable hex key for one pinned executable: caller-provided identity
+    (model/arch/shape/steps/eps/dtype) + jax version + device kind. Any
+    change recompiles rather than loading a stale binary."""
+    import hashlib
+    import json
+
+    import jax as _jax
+
+    ident = dict(kwargs)
+    ident["jax_version"] = _jax.__version__
+    ident["device_kind"] = _jax.devices()[0].device_kind
+    ident["n_devices"] = len(_jax.devices())
+    blob = json.dumps(ident, sort_keys=True, default=repr)
+    return hashlib.sha256(blob.encode()).hexdigest()[:20]
+
+
+def pin_or_load(jit_fn, example_args, path: str):
+    """Return a compiled executable for ``jit_fn`` at ``example_args``'
+    shapes: loaded from ``path`` when a valid pin exists, else compiled via
+    ``jit_fn.lower(...).compile()`` and serialized to ``path``.
+
+    Returns (compiled, loaded: bool). A loaded pin is VALIDATED by executing
+    it once on zeros and materialising the result — deserialization can
+    "succeed" yet fail at run time (observed: XLA:CPU thunk reload missing
+    fused functions; cross-host feature mismatches). Any failure falls back
+    to compile-and-overwrite — pinning is an optimization, never a
+    correctness dependency."""
+    import numpy as np
+
+    if os.path.exists(path):
+        try:
+            loaded = load_executable(path)
+            out = loaded(*example_args)
+            jax.tree_util.tree_map(np.asarray, out)  # forced materialisation
+            return loaded, True
+        except Exception:  # noqa: BLE001 - stale/broken pin; recompile below
+            pass
+    compiled = jit_fn.lower(*example_args).compile()
+    try:
+        save_executable(compiled, path)
+    except Exception:  # noqa: BLE001 - serialization unsupported on backend
+        pass
+    return compiled, False
+
+
+class AotDispatch:
+    """Serve pinned executables per leading-batch size, falling back to the
+    original jit function for any other shape (so ad-hoc callers — tests,
+    odd batch sizes — still work).
+
+    A pinned executable that FAILS at execution (deserialization gaps vary
+    by backend: e.g. XLA:CPU thunk reload can miss fused functions) is
+    dropped permanently and its shape falls back to jit — pinning is an
+    optimization, never a correctness dependency."""
+
+    def __init__(self, jit_fn, execs):
+        self._jit_fn = jit_fn
+        self._execs = dict(execs)  # {batch: compiled}
+        self._loaded_flags = {}  # batch -> came from disk (for diagnostics)
+
+    def __call__(self, x):
+        b = int(x.shape[0])
+        e = self._execs.get(b)
+        if e is None:
+            return self._jit_fn(x)
+        import jax.numpy as jnp
+
+        try:
+            return e(jnp.asarray(x))
+        except Exception:  # noqa: BLE001 - broken pin: heal to jit
+            del self._execs[b]
+            return self._jit_fn(x)

@@ -30,7 +30,11 @@ def _prod(xs) -> int:
     return out
 
 
-def _conv_flops(eqn) -> int:
+def _pad(x: int, m: Optional[int]) -> int:
+    return x if not m else -(-x // m) * m
+
+
+def _conv_flops(eqn, lane_pad=None) -> int:
     out = eqn.outvars[0].aval
     rhs = eqn.invars[1].aval
     dn = eqn.params["dimension_numbers"]
@@ -38,47 +42,70 @@ def _conv_flops(eqn) -> int:
     # rhs_spec = (out_c_dim, in_c_dim, *spatial): kernel's in_c axis already
     # holds Cin/feature_group_count, so no further division is needed
     cin_per_group = kshape[dn.rhs_spec[1]]
+    cout = kshape[dn.rhs_spec[0]]
     k_spatial = _prod(kshape[d] for d in dn.rhs_spec[2:])
-    return 2 * _prod(out.shape) * cin_per_group * k_spatial
+    if lane_pad is None:
+        return 2 * _prod(out.shape) * cin_per_group * k_spatial
+    # MXU-work estimate via the implicit-GEMM model (documented
+    # approximation): M = batch*out_spatial (sublane-padded), K =
+    # Cin_per_group*prod(kernel) (lane-padded as one contraction dim),
+    # N = Cout (lane-padded). This is what the "lane padding binds the
+    # narrow-channel UNet" perf model (ROADMAP) puts a number on.
+    sub, lane = lane_pad
+    m = _prod(out.shape) // cout
+    return 2 * _pad(m, sub) * _pad(cin_per_group * k_spatial, lane) * _pad(cout, lane)
 
 
-def _dot_flops(eqn) -> int:
-    (lhs_c, _rhs_c), _batch = eqn.params["dimension_numbers"]
+def _dot_flops(eqn, lane_pad=None) -> int:
+    (lhs_c, _rhs_c), (lhs_b, _rhs_b) = eqn.params["dimension_numbers"]
     lhs = eqn.invars[0].aval
     k = _prod(lhs.shape[d] for d in lhs_c)
-    return 2 * _prod(eqn.outvars[0].aval.shape) * k
+    out = eqn.outvars[0].aval
+    if lane_pad is None:
+        return 2 * _prod(out.shape) * k
+    sub, lane = lane_pad
+    b = _prod(lhs.shape[d] for d in lhs_b)
+    n = out.shape[-1] if out.ndim > len(lhs_b) else 1
+    m = _prod(out.shape) // max(1, b * n)
+    return 2 * b * _pad(m, sub) * _pad(k, lane) * _pad(n, lane)
 
 
-def _jaxpr_flops(jaxpr) -> int:
+def _jaxpr_flops(jaxpr, lane_pad=None) -> int:
     total = 0
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
         if name == "conv_general_dilated":
-            total += _conv_flops(eqn)
+            total += _conv_flops(eqn, lane_pad)
         elif name == "dot_general":
-            total += _dot_flops(eqn)
+            total += _dot_flops(eqn, lane_pad)
         elif name == "scan":
-            inner = _jaxpr_flops(eqn.params["jaxpr"].jaxpr)
+            inner = _jaxpr_flops(eqn.params["jaxpr"].jaxpr, lane_pad)
             total += inner * int(eqn.params["length"])
         elif name == "while":
             # trip count is dynamic; assume 1 (callers should prefer scan)
-            total += _jaxpr_flops(eqn.params["body_jaxpr"].jaxpr)
+            total += _jaxpr_flops(eqn.params["body_jaxpr"].jaxpr, lane_pad)
         elif name == "cond":
             branches = eqn.params["branches"]
-            total += max(_jaxpr_flops(b.jaxpr) for b in branches)
+            total += max(_jaxpr_flops(b.jaxpr, lane_pad) for b in branches)
         elif "jaxpr" in eqn.params:
             inner = eqn.params["jaxpr"]
-            total += _jaxpr_flops(getattr(inner, "jaxpr", inner))
+            total += _jaxpr_flops(getattr(inner, "jaxpr", inner), lane_pad)
         elif "call_jaxpr" in eqn.params:
             inner = eqn.params["call_jaxpr"]
-            total += _jaxpr_flops(getattr(inner, "jaxpr", inner))
+            total += _jaxpr_flops(getattr(inner, "jaxpr", inner), lane_pad)
     return total
 
 
-def count_flops(fn, *args, **kwargs) -> int:
-    """Dense-algebra (matmul + conv) FLOPs of one evaluation of ``fn``."""
+def count_flops(fn, *args, lane_pad=None, **kwargs) -> int:
+    """Dense-algebra (matmul + conv) FLOPs of one evaluation of ``fn``.
+
+    ``lane_pad=(sublane, lane)`` (e.g. ``(8, 128)`` for the TPU MXU)
+    switches to the PADDED-work estimate: each GEMM dimension rounded up to
+    its tile boundary — an auditable model of the hardware cycles the MXU
+    actually spends on narrow-channel convs. Model FLOPs / padded FLOPs is
+    the padding-waste factor the ROADMAP perf model talks about."""
     jaxpr = jax.make_jaxpr(fn)(*args, **kwargs)
-    return _jaxpr_flops(jaxpr.jaxpr)
+    return _jaxpr_flops(jaxpr.jaxpr, lane_pad)
 
 
 # Peak dense bf16 throughput per chip, published numbers.

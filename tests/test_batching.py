@@ -126,3 +126,65 @@ def test_dp_batching_rounds_buckets_to_dp_multiples():
         assert outs[name].shape == (1, 16, 16, 1)
         assert np.isfinite(outs[name]).all()
     eng.batcher.stop()
+
+
+def test_adaptive_turbo_escalates_under_queue_pressure():
+    """turbo_fns run instead of the exact paths when the queue depth at
+    dispatch time reaches turbo_queue_depth — and results reflect it."""
+    import time
+
+    calls = {"exact": 0, "turbo": 0}
+
+    def exact(x):
+        calls["exact"] += 1
+        time.sleep(0.05)  # slow device: lets the queue build
+        return jnp.asarray(x) + 1.0
+
+    def turbo(x):
+        calls["turbo"] += 1
+        return jnp.asarray(x) + 2.0
+
+    mb = MicroBatcher(
+        {"m": exact}, buckets=(1,), max_wait_ms=0.0,
+        turbo_fns={"m": turbo}, turbo_queue_depth=2,
+    )
+    try:
+        xs = [np.full((1, 4, 4, 1), i, np.float32) for i in range(8)]
+        futs = [mb.submit(x) for x in xs]
+        outs = [f.result(timeout=30) for f in futs]
+        # early requests (shallow queue) ran exact; the backlog escalated
+        assert calls["turbo"] > 0 and calls["exact"] > 0
+        assert mb.stats["turbo_batches"] > 0
+        deltas = {float(o["m"][0, 0, 0, 0] - x[0, 0, 0, 0])
+                  for o, x in zip(outs, xs)}
+        assert deltas == {1.0, 2.0}  # both tiers actually served requests
+    finally:
+        mb.stop()
+
+
+def test_bounded_admission_rejects_when_full():
+    import time
+
+    from midd_tpu.serve.batching import QueueFull
+
+    def slow(x):
+        time.sleep(0.1)
+        return jnp.asarray(x)
+
+    mb = MicroBatcher(
+        {"m": slow}, buckets=(1,), max_wait_ms=0.0, max_queue_depth=2,
+    )
+    try:
+        rejected = 0
+        futs = []
+        for i in range(12):
+            try:
+                futs.append(mb.submit(np.zeros((1, 4, 4, 1), np.float32)))
+            except QueueFull:
+                rejected += 1
+        assert rejected > 0
+        assert mb.stats["rejected"] == rejected
+        for f in futs:
+            assert f.result(timeout=30)["m"] is not None
+    finally:
+        mb.stop()

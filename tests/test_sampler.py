@@ -209,3 +209,65 @@ def test_eps_reuse_modes(rng):
     # close but not identical
     diff = float(jnp.max(jnp.abs(turbo - exact)))
     assert 0 < diff < 0.05
+
+
+def test_eps_refresh_idx_generalizes_eps_reuse(rng):
+    """eps_refresh_idx: a static index set equals the equivalent uniform
+    stride; an all-fresh set equals the exact rollout; arrays act as runtime
+    masks through ONE compiled program; step 0 is mandatory."""
+    import pytest as _pytest
+
+    from midd_tpu.diffusion import denoise as dn
+    from midd_tpu.diffusion.schedule import timestep_sequence
+
+    sched = make_schedule(config.ScheduleConfig())
+    n = len(timestep_sequence(sched.noise_steps, 8))
+    noisy = jnp.asarray(np.clip(rng.random((1, 8, 8, 1), dtype=np.float32), 0, 1))
+
+    def eps_fn(x, cond, t):
+        return 0.05 * x - 0.02 * cond
+
+    k2 = dn(eps_fn, noisy, sched, inference_steps=8, eps_reuse=2)
+    idx = dn(eps_fn, noisy, sched, inference_steps=8,
+             eps_refresh_idx=tuple(range(0, n, 2)))
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(idx), atol=0)
+
+    exact = dn(eps_fn, noisy, sched, inference_steps=8)
+    allf = dn(eps_fn, noisy, sched, inference_steps=8,
+              eps_refresh_idx=tuple(range(n)))
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(allf), atol=0)
+
+    # runtime bool mask == static index set (and jits as ONE program)
+    mask = np.zeros(n, bool)
+    mask[::2] = True
+    rt = jax.jit(
+        lambda x, m: dn(eps_fn, x, sched, inference_steps=8, eps_refresh_idx=m)
+    )(noisy, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(k2), atol=0)
+
+    with _pytest.raises(ValueError, match="step 0"):
+        dn(eps_fn, noisy, sched, inference_steps=8, eps_refresh_idx=(1, 2))
+    with _pytest.raises(ValueError, match="mask shape"):
+        dn(eps_fn, noisy, sched, inference_steps=8,
+           eps_refresh_idx=jnp.ones(n + 1, bool))
+
+
+def test_refresh_schedule_modes():
+    from midd_tpu.diffusion.sampler import refresh_schedule
+
+    for mode in ("uniform", "last", "front", "tail"):
+        for n_evals in (2, 3, 5):
+            idx = refresh_schedule(9, n_evals, mode)
+            assert len(idx) == n_evals, (mode, n_evals, idx)
+            assert idx[0] == 0
+            assert all(0 <= i < 9 for i in idx)
+    assert refresh_schedule(9, 9, "uniform") == tuple(range(9))
+    assert refresh_schedule(9, 3, "last")[-1] == 8
+    assert refresh_schedule(9, 3, "front") == (0, 1, 2)
+    assert refresh_schedule(9, 3, "tail") == (0, 7, 8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        refresh_schedule(9, 0, "uniform")
+    with _pytest.raises(ValueError):
+        refresh_schedule(9, 3, "nope")

@@ -122,3 +122,72 @@ def test_remat_grads_match(rng):
     g_remat = jax.grad(lambda p: jax.checkpoint(loss_fn)(p, batch, None)[0])(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_plain), jax.tree_util.tree_leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_mesh_training_matches_single_device(rng, tmp_path):
+    """TrainConfig.mesh_shape (verdict item 4): the SAME recipe trained on a
+    dp4 mesh must produce the same loss trajectory as single-device — the
+    gradient psum over dp of the same global batch is the same update."""
+    model = EnhancedNAFNet(TINY)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1))
+    )["params"]
+
+    def mk(mesh_shape, name):
+        # fresh same-seeded dataset per run: SyntheticPairedDataset's noise
+        # stream is mutable state, and both runs must see identical draws
+        ds = _dataset(rng)
+        cfg = TrainConfig(
+            epochs=2, batch_size=4, lr=2e-3, ckpt_dir=str(tmp_path),
+            ckpt_name=name, mesh_shape=mesh_shape, num_workers=0, prefetch=0,
+        )
+        t = Trainer(
+            loss_fn=nafnet_loss_fn(model),
+            eval_fn=lambda p, e, c, n: model.apply({"params": p}, n),
+            cfg=cfg,
+            # real copies: fit() donates its params buffers
+            init_params=jax.tree_util.tree_map(jnp.array, params),
+        )
+        return t.fit(ds, [ds[0]], verbose=False)
+
+    st_single = mk(None, "single")
+    st_mesh = mk((4, 1, 1), "mesh")
+    np.testing.assert_allclose(
+        st_mesh.history["losses"], st_single.history["losses"],
+        rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        st_mesh.history["psnrs"], st_single.history["psnrs"], rtol=1e-3
+    )
+
+
+def test_mesh_training_with_prefetch_and_tp(rng, tmp_path):
+    """dp2 x tp2 mesh with the device prefetcher: runs and learns."""
+    ds = _dataset(rng)
+    model = EnhancedNAFNet(TINY)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1))
+    )["params"]
+    cfg = TrainConfig(
+        epochs=2, batch_size=4, lr=2e-3, ckpt_dir=str(tmp_path),
+        ckpt_name="mesh_tp", mesh_shape=(2, 1, 2), tp_min_size=64,
+    )
+    t = Trainer(
+        loss_fn=nafnet_loss_fn(model),
+        eval_fn=lambda p, e, c, n: model.apply({"params": p}, n),
+        cfg=cfg,
+        init_params=params,
+    )
+    st = t.fit(ds, [ds[0]], verbose=False)
+    assert len(st.history["losses"]) == 2
+    assert np.isfinite(st.history["losses"]).all()
+
+
+def test_mesh_training_validates_divisibility():
+    with pytest.raises(ValueError, match="not divisible by dp"):
+        Trainer(
+            loss_fn=lambda p, b, r: (jnp.zeros(()), {}),
+            eval_fn=lambda p, e, c, n: n,
+            cfg=TrainConfig(batch_size=3, mesh_shape=(4, 1, 1)),
+            init_params={"w": jnp.ones((2, 2))},
+        )
