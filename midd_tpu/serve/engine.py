@@ -653,9 +653,11 @@ class InferenceEngine:
         # truth quality cover for the hybrid; PARITY.md frontier table).
         hk = cfg.hybrid_turbo_eps_reuse
         if hk is None:
+            # a refresh-index tuple (beyond k) is never auto-inherited
             fused_will_share = (
                 bool(cfg.fused_request)
                 and rollout_shareable
+                and isinstance(cfg.turbo_eps_reuse, int)
                 and cfg.turbo_eps_reuse <= 2
             )
             hk = cfg.turbo_eps_reuse if fused_will_share else 2

@@ -182,6 +182,19 @@ if __name__ == "__main__":
                     help="explicit batch buckets (default: auto by image size "
                          "— (1,2,4,8) at <=256², (1,) at 512²; measured, see "
                          "EngineConfig.batch_buckets)")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="load-adaptive turbo: when the request queue reaches "
+                         "--queue-depth, the rollout paths switch to their "
+                         "quality-gated turbo programs (requires --batching)")
+    ap.add_argument("--queue-depth", type=int, default=3,
+                    help="adaptive escalation threshold")
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="bounded admission: 503 beyond this many waiting "
+                         "requests (requires --batching)")
+    ap.add_argument("--aot", default=None, metavar="DIR",
+                    help="AOT executable pinning dir: serialize serving "
+                         "executables at first start, load on later starts "
+                         "(single-device engines; see EngineConfig.aot_dir)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -203,5 +216,9 @@ if __name__ == "__main__":
         tensor_parallel=args.tp,
         spatial_parallel=args.sp != 0,
         sp_size=args.sp if args.sp > 0 else None,
+        adaptive_turbo=args.adaptive,
+        adaptive_queue_depth=args.queue_depth,
+        max_queue_depth=args.max_queue,
+        aot_dir=args.aot,
     )
     serve_forever(args.host, args.port, engine_config=cfg)

@@ -157,3 +157,36 @@ def test_concurrent_requests_consistent(server):
         results = list(pool.map(hit, range(8)))
     assert all(s == 200 for s, _ in results)
     assert len({r for _, r in results}) == 1  # identical input -> identical output
+
+
+def test_engine_accepts_refresh_index_tuples():
+    """turbo settings accept an explicit refresh-index tuple (the round-3
+    turbo schedule study's output format) anywhere an int k is accepted;
+    all-indices == exact."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from midd_tpu.diffusion.schedule import timestep_sequence
+
+    n = len(timestep_sequence(10, 3))
+    exact = InferenceEngine(EngineConfig(**TINY, warmup=False))
+    tup = InferenceEngine(EngineConfig(
+        **TINY, warmup=False,
+        turbo_eps_reuse=tuple(range(n)),           # all fresh == exact
+        hybrid_turbo_eps_reuse=(0, n - 1),          # sparse refresh: runs
+        adaptive_turbo=True,
+        adaptive_diffusion_eps=(0, 2),
+        adaptive_hybrid_eps=3,
+    ))
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 32, 32, 1)).astype(np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(tup.fns["diffusion"](x)),
+        np.asarray(exact.fns["diffusion"](x)),
+        atol=0,
+    )
+    assert np.isfinite(np.asarray(tup.fns["hybrid"](x))).all()
+    assert np.isfinite(np.asarray(tup.turbo_fns["diffusion"](x))).all()
+    assert np.isfinite(np.asarray(tup.turbo_fns["hybrid"](x))).all()
