@@ -36,11 +36,17 @@ WIDE = os.path.join(REPO, "wide_ckpts")
 OUT_DIR = os.path.join(REPO, "ablation_ckpts")
 
 VARIANTS = {
-    # name: (residual fusion?, w96 backend?)
-    "plain_w48": (False, False),
-    "residual_w48": (True, False),
-    "plain_w96": (False, True),
-    "residual_w96": (True, True),
+    # name: (residual fusion?, w96 backend?, fusion sees expert?)
+    "plain_w48": (False, False, False),
+    "residual_w48": (True, False, False),
+    "plain_w96": (False, True, False),
+    "residual_w96": (True, True, False),
+    # third frozen branch: NAFNet/Expert errors correlate only ~0.56, so a
+    # FIXED 0.8/0.2 blend already scores +0.25 dB over NAFNet alone on this
+    # eval set (measured oracle, round 3) — the fusion should recover at
+    # least that much
+    "resid_exp_w48": (True, False, True),
+    "resid_exp_w96": (True, True, True),
 }
 
 
@@ -64,7 +70,8 @@ def variant_dir(name: str, wide: bool) -> str:
     return d
 
 
-def train_variant(name: str, residual: bool, wide: bool, epochs_scale: float):
+def train_variant(name: str, residual: bool, wide: bool, sees_expert: bool,
+                  epochs_scale: float):
     from midd_tpu import config
     from midd_tpu.benchmarks.xray_bench import make_train_dataset
     from midd_tpu.train import recipes
@@ -74,7 +81,7 @@ def train_variant(name: str, residual: bool, wide: bool, epochs_scale: float):
     hyb_cfg = config.HybridConfig(
         nafnet=config.SERVE_NAFNET,
         diffusion=config.WIDE_DIFFUSION if wide else config.SERVE_DIFFUSION,
-        fusion=config.FusionConfig(residual=residual),
+        fusion=config.FusionConfig(residual=residual, sees_expert=sees_expert),
         training_diffusion_steps=8,   # run.py:72-73 serve step count
         inference_diffusion_steps=8,
     )
@@ -85,6 +92,7 @@ def train_variant(name: str, residual: bool, wide: bool, epochs_scale: float):
         ds,
         nafnet_ckpt=os.path.join(d, "nafnet"),
         diffusion_ckpt=os.path.join(d, "diffusion"),
+        expert_ckpt=os.path.join(d, "expert") if sees_expert else None,
         hybrid_cfg=hyb_cfg,
         train_cfg=TrainConfig(
             epochs=e, batch_size=4, lr=4e-4, weight_decay=1e-4,
@@ -131,10 +139,10 @@ def main():
     results["hybrid_round2"] = score_fn(eng0.fns["hybrid"], eval_set)
     del eng0
 
-    for name, (residual, wide) in VARIANTS.items():
+    for name, (residual, wide, sees_expert) in VARIANTS.items():
         ck = os.path.join(OUT_DIR, name, "hybrid")
         if args.force or not os.path.isdir(ck):
-            train_variant(name, residual, wide, args.epochs_scale)
+            train_variant(name, residual, wide, sees_expert, args.epochs_scale)
         results[name] = score_variant(name, eval_set)
         print(f"[{name}] overall {results[name]['overall']['psnr']:.2f} dB "
               f"/ {results[name]['overall']['ssim']:.4f}")

@@ -108,6 +108,12 @@ class FusionConfig:
     out_c: int = 1
     base_c: int = 48
     residual: bool = False
+    # TPU-native variant: the fusion also sees the (frozen) ExpertDenoiser
+    # branch. Measured motivation (hybrid_ablation round 3): NAFNet and
+    # Expert errors correlate only ~0.56 on xraybench-v1, so even a FIXED
+    # 0.8/0.2 blend scores +0.25 dB over NAFNet alone — information the
+    # reference's 3-input fusion cannot reach.
+    sees_expert: bool = False
 
     def asdict(self):
         return _asdict(self)
@@ -149,6 +155,8 @@ class HybridConfig:
     schedule: ScheduleConfig = field(default_factory=ScheduleConfig)
     router: RouterConfig = field(default_factory=RouterConfig)
     fusion: FusionConfig = field(default_factory=FusionConfig)
+    # third frozen branch, used only when fusion.sees_expert (TPU-native)
+    expert: ExpertConfig = field(default_factory=ExpertConfig)
     training_diffusion_steps: int = 10
     inference_diffusion_steps: int = 10
 

@@ -76,11 +76,22 @@ class FusionModule(nn.Module):
 
     @nn.compact
     def __call__(
-        self, nafnet_out: jnp.ndarray, diffusion_out: jnp.ndarray, routing_mask: jnp.ndarray
+        self,
+        nafnet_out: jnp.ndarray,
+        diffusion_out: jnp.ndarray,
+        routing_mask: jnp.ndarray,
+        expert_out: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         bc = self.cfg.base_c
         dt = self.dtype
-        x = jnp.concatenate([nafnet_out, diffusion_out, routing_mask], axis=-1)
+        ins = [nafnet_out, diffusion_out, routing_mask]
+        if self.cfg.sees_expert:
+            if expert_out is None:
+                raise ValueError(
+                    "FusionConfig.sees_expert=True requires the expert branch"
+                )
+            ins.append(expert_out)
+        x = jnp.concatenate(ins, axis=-1)
         if dt is not None:
             x = x.astype(dt)
         x = tconv(bc, 3, name="conv1_0", dtype=dt)(x)
@@ -112,6 +123,7 @@ def hybrid_forward(
     fusion_apply,
     noisy: jnp.ndarray,
     stop_backend_grads: bool = True,
+    expert_apply=None,
 ) -> jnp.ndarray:
     """The fused hybrid DAG (hybrid3diffusionspeed.py:610-628).
 
@@ -120,11 +132,20 @@ def hybrid_forward(
     ``fusion_apply(fast, hq, mask)`` are closures over their own params.
     ``stop_backend_grads`` reproduces the reference's frozen-backend no_grad
     (only router+fusion train, hybrid3diffusionspeed.py:613-620,669).
+
+    ``expert_apply`` (TPU-native variant, FusionConfig.sees_expert): a third
+    frozen branch fed to the fusion — fusion_apply is then called with
+    ``(fast, hq, mask, exp)``.
     """
     fast = _sanitize(nafnet_apply(noisy))
     hq = _sanitize(denoise_fn(noisy))
+    exp = _sanitize(expert_apply(noisy)) if expert_apply is not None else None
     if stop_backend_grads:
         fast = jax.lax.stop_gradient(fast)
         hq = jax.lax.stop_gradient(hq)
+        if exp is not None:
+            exp = jax.lax.stop_gradient(exp)
     mask = _sanitize(router_apply(noisy))
+    if exp is not None:
+        return fusion_apply(fast, hq, mask, exp)
     return fusion_apply(fast, hq, mask)

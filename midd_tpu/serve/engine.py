@@ -320,6 +320,7 @@ class InferenceEngine:
             out_c=int(d.get("out_c", default.out_c)),
             base_c=int(d["base_c"]),
             residual=bool(d.get("residual", default.residual)),
+            sees_expert=bool(d.get("sees_expert", default.sees_expert)),
         )
 
     @staticmethod
@@ -593,8 +594,16 @@ class InferenceEngine:
         router = NoiseAnalyzer(
             self._router_cfg_from_meta(hmeta, cfg.router_cfg), dtype=dt
         )
-        fusion = FusionModule(
-            self._fusion_cfg_from_meta(hmeta, cfg.fusion_cfg), dtype=dt
+        fusion_cfg_resolved = self._fusion_cfg_from_meta(hmeta, cfg.fusion_cfg)
+        fusion = FusionModule(fusion_cfg_resolved, dtype=dt)
+        # sees_expert hybrids feed the standalone expert path's model +
+        # weights as the third frozen branch (trainer-saved hybrids carry
+        # only router/fusion; the expert is a frozen external like the
+        # other backends)
+        hyb_expert_apply = (
+            (lambda a: expert.apply(v_exp, a))
+            if fusion_cfg_resolved.sees_expert
+            else None
         )
         hyb_unet_plain = UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
         hyb_unet = (
@@ -675,8 +684,9 @@ class InferenceEngine:
                         **_eps_kwargs(eps_setting),
                     ),
                     lambda a: router.apply({"params": v_h["router"]}, a),
-                    lambda a, b, m: fusion.apply({"params": v_h["fusion"]}, a, b, m),
+                    lambda *ins: fusion.apply({"params": v_h["fusion"]}, *ins),
                     x,
+                    expert_apply=hyb_expert_apply,
                 )
                 return jnp.clip(out, 0.0, 1.0)
 
@@ -728,7 +738,7 @@ class InferenceEngine:
                             a,
                             hschedule,
                             cfg.hybrid_diffusion_steps,
-                            eps_reuse=hk,
+                            **_eps_kwargs(hk),
                         )
                     )
                 )
@@ -736,8 +746,9 @@ class InferenceEngine:
                     hyb_naf_fn,
                     hyb_diff_fn,
                     lambda a: router.apply({"params": v_h["router"]}, a),
-                    lambda a, b, m: fusion.apply({"params": v_h["fusion"]}, a, b, m),
+                    lambda *ins: fusion.apply({"params": v_h["fusion"]}, *ins),
                     x,
+                    expert_apply=hyb_expert_apply,
                 )
                 return {
                     "diffusion": jnp.clip(diff_raw, 0.0, 1.0),

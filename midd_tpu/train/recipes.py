@@ -234,13 +234,18 @@ def train_hybrid(
     train_cfg: Optional[TrainConfig] = None,
     resume: Optional[str] = None,
     use_flash: Optional[bool] = None,
+    expert_ckpt: Optional[str] = None,
 ):
     """Frozen-backend hybrid training (hybrid3diffusionspeed.py:631-876):
     only router+fusion receive gradients; backends come from the given
-    checkpoints (orbax dirs or .pth)."""
+    checkpoints (orbax dirs or .pth). When ``hybrid_cfg.fusion.sees_expert``
+    a third frozen branch (ExpertDenoiser from ``expert_ckpt``) feeds the
+    fusion (TPU-native variant; measured +0.25 dB headroom from a fixed
+    blend alone — see FusionConfig.sees_expert)."""
     from midd_tpu.diffusion import denoise, make_schedule
     from midd_tpu.models import (
         EnhancedNAFNet,
+        ExpertDenoiser,
         FusionModule,
         NoiseAnalyzer,
         UNetDiffusion,
@@ -256,6 +261,8 @@ def train_hybrid(
     router = NoiseAnalyzer(hybrid_cfg.router)
     fusion = FusionModule(hybrid_cfg.fusion)
     schedule = make_schedule(hybrid_cfg.schedule)
+    sees_expert = hybrid_cfg.fusion.sees_expert
+    expert = ExpertDenoiser(hybrid_cfg.expert) if sees_expert else None
 
     sample = jnp.zeros((1, 64, 64, 1))
     t0 = jnp.zeros((1,), jnp.int32)
@@ -263,15 +270,18 @@ def train_hybrid(
     unet_params = _load_backend(diffusion_ckpt, unet, sample, sample, t0)
 
     keys = jax.random.split(jax.random.PRNGKey(cfg.seed), 2)
+    fusion_init_args = (sample,) * (4 if sees_expert else 3)
     trainable = {
         "router": jax.jit(router.init)(keys[0], sample)["params"],
-        "fusion": jax.jit(fusion.init)(keys[1], sample, sample, sample)["params"],
+        "fusion": jax.jit(fusion.init)(keys[1], *fusion_init_args)["params"],
     }
 
     # frozen backends ride the Trainer's runtime-argument path — closure
     # capture would bake them into the XLA program as constants (a w96
     # backend is ~200 MB, which the remote-compile tunnel rejects)
     frozen = {"nafnet": naf_params, "unet": unet_params}
+    if sees_expert:
+        frozen["expert"] = _load_backend_variables(expert_ckpt, expert, sample)
 
     def eval_fn(p, extra, clean, noisy, frozen):
         return hybrid_forward(
@@ -283,14 +293,19 @@ def train_hybrid(
                 hybrid_cfg.inference_diffusion_steps,
             ),
             lambda x: router.apply({"params": p["router"]}, x),
-            lambda a, b, m: fusion.apply({"params": p["fusion"]}, a, b, m),
+            lambda *ins: fusion.apply({"params": p["fusion"]}, *ins),
             noisy,
+            expert_apply=(
+                (lambda x: expert.apply(frozen["expert"], x))
+                if sees_expert else None
+            ),
         )
 
     trainer = Trainer(
         loss_fn=hybrid_loss_fn(
             naf, unet, router, fusion, schedule,
             hybrid_cfg.training_diffusion_steps,
+            expert_model=expert,
         ),
         eval_fn=eval_fn,
         cfg=cfg,
@@ -309,10 +324,14 @@ def train_hybrid(
                 "noise_steps": hybrid_cfg.schedule.noise_steps,
             },
             # router/fusion arch so variant checkpoints (wider fusion,
-            # residual head) serve drop-in — the engine reads these like
-            # run.py reads nafnet_params/diffusion_params (run.py:61-62)
+            # residual head, expert-fed fusion) serve drop-in — the engine
+            # reads these like run.py reads nafnet_params/diffusion_params
             "router_params": hybrid_cfg.router.asdict(),
             "fusion_params": hybrid_cfg.fusion.asdict(),
+            **(
+                {"expert_params": hybrid_cfg.expert.asdict()}
+                if sees_expert else {}
+            ),
         },
     )
     plot_training_curves(state.history, "hybrid_training_curves.png")
@@ -360,19 +379,30 @@ def train_tiny(
 def _load_backend(ckpt: str, model, *example_args):
     """Load backend params from an orbax dir, a .pth file, or fall back to
     seeded random init (for tests/demo)."""
+    return _load_backend_variables(ckpt, model, *example_args)["params"]
+
+
+def _load_backend_variables(ckpt: str, model, *example_args):
+    """Like _load_backend but returns the FULL variables dict (params +
+    batch_stats when present — the ExpertDenoiser branch needs its
+    BatchNorm statistics)."""
     import os
 
     if ckpt and os.path.isdir(ckpt):
         from midd_tpu.utils.checkpoint import load_checkpoint
 
         tree, _ = load_checkpoint(ckpt)
-        return tree["params"]
+        variables = {"params": tree["params"]}
+        bs = tree.get("batch_stats") or tree.get("extra", {}).get("batch_stats")
+        if bs:
+            variables["batch_stats"] = bs
+        return variables
     if ckpt and os.path.exists(ckpt):
         from midd_tpu.utils.checkpoint import import_reference_checkpoint
 
         variables, _ = import_reference_checkpoint(ckpt, model, *example_args)
-        return variables["params"]
-    return jax.jit(model.init)(jax.random.PRNGKey(7), *example_args)["params"]
+        return variables
+    return jax.jit(model.init)(jax.random.PRNGKey(7), *example_args)
 
 
 def main():

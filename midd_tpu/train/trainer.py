@@ -214,7 +214,7 @@ def tiny_loss_fn(model, schedule_1000):
 
 
 def hybrid_loss_fn(naf_model, unet_model, router_model, fusion_model,
-                   schedule, diffusion_steps: int):
+                   schedule, diffusion_steps: int, expert_model=None):
     """Trainable params = {'router':..., 'fusion':...}; the frozen backends
     arrive as the Trainer's ``frozen`` RUNTIME argument
     ({'nafnet':..., 'unet':...}) rather than closures — closure-captured
@@ -233,8 +233,15 @@ def hybrid_loss_fn(naf_model, unet_model, router_model, fusion_model,
                 x, schedule, diffusion_steps,
             ),
             lambda x: router_model.apply({"params": params["router"]}, x),
-            lambda a, b, m: fusion_model.apply({"params": params["fusion"]}, a, b, m),
+            lambda *fusion_ins: fusion_model.apply(
+                {"params": params["fusion"]}, *fusion_ins
+            ),
             noisy,
+            expert_apply=(
+                (lambda x: expert_model.apply(frozen["expert"], x))
+                if expert_model is not None
+                else None
+            ),
         )
         return losses.perceptual_loss_hybrid(pred, clean), {"pred": pred}
 

@@ -43,12 +43,36 @@ def save_checkpoint(path: str, tree: Any, metadata: Optional[Dict] = None) -> No
 
 
 def load_checkpoint(path: str) -> Tuple[Any, Dict]:
-    """Load (tree, metadata) saved by ``save_checkpoint``."""
+    """Load (tree, metadata) saved by ``save_checkpoint``.
+
+    Cross-backend portable: a checkpoint saved on the TPU records TPU
+    shardings in its sidecar, and orbax's default restore then fails on a
+    CPU host ("sharding ... Got None"). Restore falls back to explicit
+    single-device placement on the CURRENT backend in that case — serving
+    and analysis hosts need not match the training topology."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    tree = ckptr.restore(os.path.join(path, "tree"))
+    tree_path = os.path.join(path, "tree")
+    try:
+        tree = ckptr.restore(tree_path)
+    except ValueError:
+        from jax.sharding import SingleDeviceSharding
+
+        dev = jax.devices()[0]
+        meta = ckptr.metadata(tree_path)
+        item = getattr(meta, "item_metadata", meta)
+        item = getattr(item, "tree", item)
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.ArrayRestoreArgs(
+                sharding=SingleDeviceSharding(dev)
+            ),
+            item,
+        )
+        tree = ckptr.restore(
+            tree_path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+        )
     meta_path = os.path.join(path, "metadata.json")
     metadata: Dict = {}
     if os.path.exists(meta_path):

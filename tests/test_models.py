@@ -134,3 +134,36 @@ def test_tiny_unet_param_count(key):
     assert n_params(variables["params"]) == 784_929
     y = jax.jit(model.apply)(variables, x, t, x)
     assert y.shape == (1, 64, 64, 1)
+
+
+def test_fusion_sees_expert_variant(key):
+    """TPU-native expert-fed fusion: 4th input channel, residual identity
+    still holds at init, and the plain 3-input call raises when the config
+    demands the expert branch."""
+    from midd_tpu.models.hybrid import hybrid_forward
+
+    fast = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 1))
+    hq = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 1))
+    mask = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 1))
+    exp = jax.random.uniform(jax.random.PRNGKey(4), (1, 16, 16, 1))
+
+    m = FusionModule(config.FusionConfig(residual=True, sees_expert=True))
+    v = jax.jit(m.init)(key, fast, hq, mask, exp)
+    # in_c=4: first conv kernel carries one extra input channel
+    assert v["params"]["conv1_0"]["kernel"].shape[2] == 4
+    out = jax.jit(m.apply)(v, fast, hq, mask, exp)
+    assert jnp.allclose(out, fast)  # residual zero-init identity
+
+    with pytest.raises(ValueError, match="expert branch"):
+        m.apply(v, fast, hq, mask)
+
+    # hybrid_forward threads the expert branch through (sanitized, frozen)
+    out2 = hybrid_forward(
+        lambda x: fast,
+        lambda x: hq,
+        lambda x: mask,
+        lambda *ins: m.apply(v, *ins),
+        jnp.zeros((1, 16, 16, 1)),
+        expert_apply=lambda x: exp,
+    )
+    assert jnp.allclose(out2, jnp.clip(fast, 0, 1))

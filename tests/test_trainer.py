@@ -191,3 +191,36 @@ def test_mesh_training_validates_divisibility():
             cfg=TrainConfig(batch_size=3, mesh_shape=(4, 1, 1)),
             init_params={"w": jnp.ones((2, 2))},
         )
+
+
+def test_load_checkpoint_cross_backend_fallback(tmp_path, monkeypatch):
+    """A checkpoint whose sharding sidecar references a foreign device (e.g.
+    TPU-saved, CPU-restored) must still load: load_checkpoint falls back to
+    explicit single-device restore on the current backend."""
+    import orbax.checkpoint as ocp
+
+    from midd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    tree = {"params": {"w": jnp.arange(6.0).reshape(2, 3)}}
+    save_checkpoint(str(tmp_path / "ck"), tree, {"epoch": 3})
+
+    real_restore = ocp.PyTreeCheckpointer.restore
+    calls = {"n": 0}
+
+    def flaky_restore(self, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1 and not a and not kw:
+            # simulate orbax's foreign-topology failure on the default path
+            raise ValueError(
+                "sharding passed to deserialization should be specified, "
+                "concrete and an instance of `jax.sharding.Sharding`. Got None"
+            )
+        return real_restore(self, path, *a, **kw)
+
+    monkeypatch.setattr(ocp.PyTreeCheckpointer, "restore", flaky_restore)
+    loaded, meta = load_checkpoint(str(tmp_path / "ck"))
+    assert calls["n"] >= 2  # fallback path actually ran
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["w"]), np.arange(6.0).reshape(2, 3)
+    )
+    assert meta["epoch"] == 3
