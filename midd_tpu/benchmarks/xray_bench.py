@@ -289,20 +289,30 @@ def train_all(
     )
 
 
-def turbo_gate(engine_cfg_kwargs: dict, eval_set) -> Dict[str, Dict]:
+def turbo_gate(engine_cfg_kwargs: dict, eval_set,
+               extra_schedules: Sequence = ()) -> Dict[str, Dict]:
     """Quality/speed frontier of the turbo paths vs GROUND TRUTH (the round-1
-    gap: k=2 was only ever scored against the exact rollout's output)."""
+    gap: k=2 was only ever scored against the exact rollout's output).
+
+    ``extra_schedules``: explicit refresh-index tuples (e.g. the round-3
+    turbo schedule study's winners) gated alongside the uniform k strides.
+    """
     from midd_tpu.serve.engine import EngineConfig, InferenceEngine
 
     results = {}
-    for k in (1, 2, 3):
+    settings = [(f"k{k}", k) for k in (1, 2, 3)] + [
+        ("idx" + "-".join(str(i) for i in s), tuple(s))
+        for s in extra_schedules
+    ]
+    for label, setting in settings:
         eng = InferenceEngine(
             EngineConfig(
-                turbo_eps_reuse=k, hybrid_turbo_eps_reuse=k, **engine_cfg_kwargs
+                turbo_eps_reuse=setting, hybrid_turbo_eps_reuse=setting,
+                **engine_cfg_kwargs,
             )
         )
-        results[f"diffusion_k{k}"] = score_fn(eng.fns["diffusion"], eval_set)
-        results[f"hybrid_k{k}"] = score_fn(eng.fns["hybrid"], eval_set)
+        results[f"diffusion_{label}"] = score_fn(eng.fns["diffusion"], eval_set)
+        results[f"hybrid_{label}"] = score_fn(eng.fns["hybrid"], eval_set)
     return results
 
 
@@ -319,6 +329,10 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--turbo-gate", action="store_true")
+    ap.add_argument("--turbo-idx", action="append", default=[],
+                    metavar="I0,I1,...",
+                    help="additional explicit refresh schedules to gate "
+                         "(comma-separated scan indices; repeatable)")
     ap.add_argument("--epochs-scale", type=float, default=1.0)
     ap.add_argument("--width-preset", choices=("serve", "tiny"), default="serve")
     ap.add_argument("--bf16", action="store_true")
@@ -357,7 +371,10 @@ def main():
     if args.int8:
         kw["quantize_int8"] = "static"
     if args.turbo_gate:
-        results = turbo_gate(kw, eval_set)
+        extra = [
+            tuple(int(i) for i in s.split(",")) for s in args.turbo_idx
+        ]
+        results = turbo_gate(kw, eval_set, extra_schedules=extra)
     else:
         engine = InferenceEngine(EngineConfig(**kw))
         results = score_engine(engine, eval_set)

@@ -536,9 +536,14 @@ class InferenceEngine:
                 return {"eps_refresh_idx": tuple(int(i) for i in setting)}
             return {"eps_reuse": int(setting)}
 
+        # Every serving fn takes its weights as the FIRST argument instead of
+        # closing over them: closure-captured arrays are baked into the XLA
+        # program as constants, and large profiles (w96 hybrid: both backends
+        # ≈ 285 MB) exceed the remote-compile tunnel's request limit
+        # (HTTP 413) — and bloat every serialized executable.
         def make_diffusion_fn(eps_setting):
-            def fn(x):
-                eps = lambda a, c, t: unet.apply(v_diff, a, c, t)
+            def fn(v, x):
+                eps = lambda a, c, t: unet.apply(v, a, c, t)
                 out = denoise(
                     eps, x, schedule, cfg.diffusion_steps,
                     **_eps_kwargs(eps_setting),
@@ -554,15 +559,15 @@ class InferenceEngine:
         naf = EnhancedNAFNet(naf_cfg, dtype=dt)
         v_naf = self._shard(self._variables_for("nafnet", naf, x0))
 
-        def nafnet_fn(x):
-            return jnp.clip(naf.apply(v_naf, x), 0.0, 1.0)
+        def nafnet_fn(v, x):
+            return jnp.clip(naf.apply(v, x), 0.0, 1.0)
 
         # Expert path
         expert = ExpertDenoiser(cfg.expert_cfg, dtype=dt)
         v_exp = self._shard(self._variables_for("expert", expert, x0))
 
-        def expert_fn(x):
-            return jnp.clip(expert.apply(v_exp, x), 0.0, 1.0)
+        def expert_fn(v, x):
+            return jnp.clip(expert.apply(v, x), 0.0, 1.0)
 
         # Hybrid path: its OWN backend weights + arch configs from the
         # checkpoint (run.py:60-74). The hybrid's schedule comes from ITS
@@ -600,11 +605,7 @@ class InferenceEngine:
         # weights as the third frozen branch (trainer-saved hybrids carry
         # only router/fusion; the expert is a frozen external like the
         # other backends)
-        hyb_expert_apply = (
-            (lambda a: expert.apply(v_exp, a))
-            if fusion_cfg_resolved.sees_expert
-            else None
-        )
+        sees_expert = fusion_cfg_resolved.sees_expert
         hyb_unet_plain = UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt)
         hyb_unet = (
             UNetDiffusion(hyb_unet_cfg, use_flash=cfg.use_flash_attention, dtype=dt, quant=qmode)
@@ -642,9 +643,12 @@ class InferenceEngine:
                 "diffusion_unet": v_diff["params"],
                 **v_h,
             }
-        hv_unet = {"params": v_h["diffusion_unet"]}
-        if "diffusion_qscales" in v_h:
-            hv_unet["qscales"] = v_h["diffusion_qscales"]
+        # hybrid weights bundle passed as the jit argument (exp included
+        # only for sees_expert profiles; dict membership is a static
+        # trace-time property)
+        v_hb = {"h": v_h}
+        if sees_expert:
+            v_hb["exp"] = v_exp
 
         # One predicate for "the hybrid COULD ride the standalone rollout":
         # shared weights (fallback), same schedule, same step count. Both the
@@ -672,21 +676,31 @@ class InferenceEngine:
             hk = cfg.turbo_eps_reuse if fused_will_share else 2
         self.hybrid_eps_reuse = hk
 
+        def _hyb_unet_vars(vh):
+            hv = {"params": vh["diffusion_unet"]}
+            if "diffusion_qscales" in vh:
+                hv["qscales"] = vh["diffusion_qscales"]
+            return hv
+
         def make_hybrid_fn(eps_setting):
-            def fn(x):
+            def fn(v, x):
+                vh = v["h"]
                 out = hybrid_forward(
-                    lambda a: hyb_naf.apply({"params": v_h["nafnet"]}, a),
+                    lambda a: hyb_naf.apply({"params": vh["nafnet"]}, a),
                     lambda a: denoise(
-                        lambda b, c, t: hyb_unet.apply(hv_unet, b, c, t),
+                        lambda b, c, t: hyb_unet.apply(_hyb_unet_vars(vh), b, c, t),
                         a,
                         hschedule,
                         cfg.hybrid_diffusion_steps,
                         **_eps_kwargs(eps_setting),
                     ),
-                    lambda a: router.apply({"params": v_h["router"]}, a),
-                    lambda *ins: fusion.apply({"params": v_h["fusion"]}, *ins),
+                    lambda a: router.apply({"params": vh["router"]}, a),
+                    lambda *ins: fusion.apply({"params": vh["fusion"]}, *ins),
                     x,
-                    expert_apply=hyb_expert_apply,
+                    expert_apply=(
+                        (lambda a: expert.apply(v["exp"], a))
+                        if "exp" in v else None
+                    ),
                 )
                 return jnp.clip(out, 0.0, 1.0)
 
@@ -694,19 +708,21 @@ class InferenceEngine:
 
         hybrid_fn = make_hybrid_fn(hk)
 
+        # (fn, weights) per path — weights ride as jit ARGUMENTS (committed
+        # device arrays), never closure constants
         raw_fns = {
-            "diffusion": diffusion_fn,
-            "nafnet": nafnet_fn,
-            "expert": expert_fn,
-            "hybrid": hybrid_fn,
+            "diffusion": (diffusion_fn, v_diff),
+            "nafnet": (nafnet_fn, v_naf),
+            "expert": (expert_fn, v_exp),
+            "hybrid": (hybrid_fn, v_hb),
         }
         # queue-pressure turbo tier for the two rollout-bound paths (see
         # EngineConfig.adaptive_turbo); compiled alongside the exact paths
         raw_turbo = None
         if cfg.adaptive_turbo:
             raw_turbo = {
-                "diffusion": make_diffusion_fn(cfg.adaptive_diffusion_eps),
-                "hybrid": make_hybrid_fn(cfg.adaptive_hybrid_eps),
+                "diffusion": (make_diffusion_fn(cfg.adaptive_diffusion_eps), v_diff),
+                "hybrid": (make_hybrid_fn(cfg.adaptive_hybrid_eps), v_hb),
             }
 
         # Fused single-program request path (see EngineConfig.fused_request).
@@ -715,26 +731,28 @@ class InferenceEngine:
         fused_on = bool(cfg.fused_request)
         self.shares = {"backends": share_backends, "rollout": share_rollout}
         raw_fused = None
+        v_all = {"diff": v_diff, "naf": v_naf, "exp": v_exp, "h": v_h}
         if fused_on:
 
-            def fused_fn(x):
-                naf_raw = naf.apply(v_naf, x)
-                eps = lambda a, c, t: unet.apply(v_diff, a, c, t)
+            def fused_fn(v, x):
+                naf_raw = naf.apply(v["naf"], x)
+                eps = lambda a, c, t: unet.apply(v["diff"], a, c, t)
                 diff_raw = denoise(
                     eps, x, schedule, cfg.diffusion_steps,
-                    eps_reuse=cfg.turbo_eps_reuse,
+                    **_eps_kwargs(cfg.turbo_eps_reuse),
                 )
+                vh = v["h"]
                 hyb_naf_fn = (
                     (lambda a: naf_raw)
                     if share_backends
-                    else (lambda a: hyb_naf.apply({"params": v_h["nafnet"]}, a))
+                    else (lambda a: hyb_naf.apply({"params": vh["nafnet"]}, a))
                 )
                 hyb_diff_fn = (
                     (lambda a: diff_raw)
                     if share_rollout
                     else (
                         lambda a: denoise(
-                            lambda b, c, t: hyb_unet.apply(hv_unet, b, c, t),
+                            lambda b, c, t: hyb_unet.apply(_hyb_unet_vars(vh), b, c, t),
                             a,
                             hschedule,
                             cfg.hybrid_diffusion_steps,
@@ -745,19 +763,32 @@ class InferenceEngine:
                 hyb = hybrid_forward(
                     hyb_naf_fn,
                     hyb_diff_fn,
-                    lambda a: router.apply({"params": v_h["router"]}, a),
-                    lambda *ins: fusion.apply({"params": v_h["fusion"]}, *ins),
+                    lambda a: router.apply({"params": vh["router"]}, a),
+                    lambda *ins: fusion.apply({"params": vh["fusion"]}, *ins),
                     x,
-                    expert_apply=hyb_expert_apply,
+                    expert_apply=(
+                        (lambda a: expert.apply(v["exp"], a))
+                        if sees_expert else None
+                    ),
                 )
                 return {
                     "diffusion": jnp.clip(diff_raw, 0.0, 1.0),
                     "nafnet": jnp.clip(naf_raw, 0.0, 1.0),
-                    "expert": expert_fn(x),
+                    "expert": expert_fn(v["exp"], x),
                     "hybrid": jnp.clip(hyb, 0.0, 1.0),
                 }
 
             raw_fused = fused_fn
+
+        def _jit_and_bind(fn, weights, bs=None):
+            """jit with weights as arg #0 (committed shardings respected),
+            return (bound x->out callable, jit object, weights)."""
+            if bs is not None:
+                jf = jax.jit(fn, in_shardings=(None, bs), out_shardings=bs)
+            else:
+                jf = jax.jit(fn)
+            return (lambda x: jf(weights, x)), jf, weights
+
         if self.mesh is not None:
             from midd_tpu.parallel import batch_sharding, image_sharding
 
@@ -766,31 +797,22 @@ class InferenceEngine:
                 if cfg.spatial_parallel
                 else batch_sharding(self.mesh)
             )
-            self.fns = {
-                n: jax.jit(f, in_shardings=bs, out_shardings=bs)
-                for n, f in raw_fns.items()
-            }
-            self.fused = (
-                jax.jit(raw_fused, in_shardings=bs, out_shardings=bs)
-                if raw_fused is not None
-                else None
-            )
-            self.turbo_fns = (
-                {
-                    n: jax.jit(f, in_shardings=bs, out_shardings=bs)
-                    for n, f in raw_turbo.items()
-                }
-                if raw_turbo is not None
-                else None
-            )
         else:
-            self.fns = {n: jax.jit(f) for n, f in raw_fns.items()}
-            self.fused = jax.jit(raw_fused) if raw_fused is not None else None
-            self.turbo_fns = (
-                {n: jax.jit(f) for n, f in raw_turbo.items()}
-                if raw_turbo is not None
-                else None
-            )
+            bs = None
+        self._jit_fns = {}
+        self.fns = {}
+        for n, (f, w) in raw_fns.items():
+            self.fns[n], jf, _ = _jit_and_bind(f, w, bs)
+            self._jit_fns[n] = (jf, w)
+        self.turbo_fns = None
+        if raw_turbo is not None:
+            self.turbo_fns = {}
+            for n, (f, w) in raw_turbo.items():
+                self.turbo_fns[n], jf, _ = _jit_and_bind(f, w, bs)
+                self._jit_fns[f"turbo@{n}"] = (jf, w)
+        self.fused = None
+        if raw_fused is not None:
+            self.fused, _, _ = _jit_and_bind(raw_fused, v_all, bs)
 
         # resolve batch buckets once (batcher + AOT pinning both need them)
         buckets = cfg.batch_buckets
@@ -878,10 +900,7 @@ class InferenceEngine:
         s = cfg.img_size
         weights_id = self._ckpt_ident()
         t_all = time.time()
-        named = dict(self.fns)
-        if self.turbo_fns:
-            named.update({f"turbo@{k}": v for k, v in self.turbo_fns.items()})
-        for name, fn in named.items():
+        for name, (jit_fn, weights) in self._jit_fns.items():
             execs = {}
             for b in batches:
                 key = aot_fingerprint(
@@ -903,7 +922,9 @@ class InferenceEngine:
                 path = os.path.join(cfg.aot_dir, f"{name}_b{b}_{key}.jx")
                 t = time.time()
                 compiled, loaded = pin_or_load(
-                    fn, (jnp.zeros((b, s, s, 1), jnp.float32),), path
+                    jit_fn,
+                    (weights, jnp.zeros((b, s, s, 1), jnp.float32)),
+                    path,
                 )
                 execs[int(b)] = compiled
                 self.aot_report[f"{name}_b{b}"] = {
@@ -913,10 +934,11 @@ class InferenceEngine:
                     "aot_load" if loaded else "aot_compile",
                     time.time() - t, model=name, batch=int(b),
                 )
+            dispatch = AotDispatch(jit_fn, execs, bound_args=(weights,))
             if name.startswith("turbo@"):
-                self.turbo_fns[name.split("@", 1)[1]] = AotDispatch(fn, execs)
+                self.turbo_fns[name.split("@", 1)[1]] = dispatch
             else:
-                self.fns[name] = AotDispatch(fn, execs)
+                self.fns[name] = dispatch
         log.latency("aot_ready", time.time() - t_all,
                     n=len(self.aot_report))
 

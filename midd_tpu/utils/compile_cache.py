@@ -138,20 +138,22 @@ class AotDispatch:
     dropped permanently and its shape falls back to jit — pinning is an
     optimization, never a correctness dependency."""
 
-    def __init__(self, jit_fn, execs):
+    def __init__(self, jit_fn, execs, bound_args=()):
         self._jit_fn = jit_fn
         self._execs = dict(execs)  # {batch: compiled}
-        self._loaded_flags = {}  # batch -> came from disk (for diagnostics)
+        # leading arguments bound at dispatch time (e.g. the weights tree —
+        # passed as jit ARGUMENTS so they are not baked into programs)
+        self._bound = tuple(bound_args)
 
     def __call__(self, x):
         b = int(x.shape[0])
         e = self._execs.get(b)
         if e is None:
-            return self._jit_fn(x)
+            return self._jit_fn(*self._bound, x)
         import jax.numpy as jnp
 
         try:
-            return e(jnp.asarray(x))
+            return e(*self._bound, jnp.asarray(x))
         except Exception:  # noqa: BLE001 - broken pin: heal to jit
             del self._execs[b]
-            return self._jit_fn(x)
+            return self._jit_fn(*self._bound, x)
