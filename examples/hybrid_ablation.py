@@ -49,6 +49,14 @@ VARIANTS = {
     "resid_exp_w96": (True, True, True),
 }
 
+# loss ablation: the reference loss's L1 terms emit sign-gradients ~80x the
+# MSE term's at 45 dB error levels, drowning the blend signal the head must
+# learn; these cells train with the PSNR-aligned pure-MSE option
+LOSS_VARIANTS = {
+    "resid_l2_w48": (True, False, False, "l2"),
+    "resid_exp_l2_w48": (True, False, True, "l2"),
+}
+
 
 def _link(src: str, dst: str) -> None:
     if not os.path.islink(dst) and not os.path.exists(dst):
@@ -71,7 +79,7 @@ def variant_dir(name: str, wide: bool) -> str:
 
 
 def train_variant(name: str, residual: bool, wide: bool, sees_expert: bool,
-                  epochs_scale: float):
+                  epochs_scale: float, loss_variant: str = "reference"):
     from midd_tpu import config
     from midd_tpu.benchmarks.xray_bench import make_train_dataset
     from midd_tpu.train import recipes
@@ -98,6 +106,7 @@ def train_variant(name: str, residual: bool, wide: bool, sees_expert: bool,
             epochs=e, batch_size=4, lr=4e-4, weight_decay=1e-4,
             eta_min_factor=0.02, patience=20, ckpt_name="hybrid", ckpt_dir=d,
         ),
+        loss_variant=loss_variant,
     )
     print(f"[{name}] trained in {time.time() - t:.0f}s")
 
@@ -139,10 +148,15 @@ def main():
     results["hybrid_round2"] = score_fn(eng0.fns["hybrid"], eval_set)
     del eng0
 
-    for name, (residual, wide, sees_expert) in VARIANTS.items():
+    all_variants = {
+        **{k: (*v, "reference") for k, v in VARIANTS.items()},
+        **LOSS_VARIANTS,
+    }
+    for name, (residual, wide, sees_expert, lv) in all_variants.items():
         ck = os.path.join(OUT_DIR, name, "hybrid")
         if args.force or not os.path.isdir(ck):
-            train_variant(name, residual, wide, sees_expert, args.epochs_scale)
+            train_variant(name, residual, wide, sees_expert,
+                          args.epochs_scale, loss_variant=lv)
         results[name] = score_variant(name, eval_set)
         print(f"[{name}] overall {results[name]['overall']['psnr']:.2f} dB "
               f"/ {results[name]['overall']['ssim']:.4f}")

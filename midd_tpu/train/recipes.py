@@ -235,6 +235,7 @@ def train_hybrid(
     resume: Optional[str] = None,
     use_flash: Optional[bool] = None,
     expert_ckpt: Optional[str] = None,
+    loss_variant: str = "reference",
 ):
     """Frozen-backend hybrid training (hybrid3diffusionspeed.py:631-876):
     only router+fusion receive gradients; backends come from the given
@@ -306,6 +307,7 @@ def train_hybrid(
             naf, unet, router, fusion, schedule,
             hybrid_cfg.training_diffusion_steps,
             expert_model=expert,
+            loss_variant=loss_variant,
         ),
         eval_fn=eval_fn,
         cfg=cfg,

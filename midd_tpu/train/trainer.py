@@ -214,7 +214,8 @@ def tiny_loss_fn(model, schedule_1000):
 
 
 def hybrid_loss_fn(naf_model, unet_model, router_model, fusion_model,
-                   schedule, diffusion_steps: int, expert_model=None):
+                   schedule, diffusion_steps: int, expert_model=None,
+                   loss_variant: str = "reference"):
     """Trainable params = {'router':..., 'fusion':...}; the frozen backends
     arrive as the Trainer's ``frozen`` RUNTIME argument
     ({'nafnet':..., 'unet':...}) rather than closures — closure-captured
@@ -243,7 +244,15 @@ def hybrid_loss_fn(naf_model, unet_model, router_model, fusion_model,
                 else None
             ),
         )
-        return losses.perceptual_loss_hybrid(pred, clean), {"pred": pred}
+        if loss_variant == "l2":
+            # PSNR-aligned objective (TPU-native option): at ~45 dB the
+            # reference loss's L1 terms contribute sign-gradients ~80x the
+            # MSE term's, drowning the small mean-seeking corrections the
+            # residual/blend head must learn (hybrid ablation, round 3)
+            loss = losses.mse(pred, clean)
+        else:
+            loss = losses.perceptual_loss_hybrid(pred, clean)
+        return loss, {"pred": pred}
 
     return fn
 
