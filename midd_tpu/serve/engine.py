@@ -870,20 +870,20 @@ class InferenceEngine:
         for n in MODEL_NAMES:
             self.loaded[n] = True
 
-    def _ckpt_ident(self) -> str:
-        """Weight identity for AOT fingerprints: pinned executables BAKE the
-        weights in as constants, so a changed checkpoint must invalidate the
-        pin (path + mtime per model; 'demo' for seeded-random weights)."""
-        parts = []
-        for name in MODEL_NAMES:
-            p = os.path.join(self.cfg.ckpt_dir, name)
-            for cand in (p, p + ".pth"):
-                if os.path.exists(cand):
-                    parts.append(f"{name}:{cand}:{os.path.getmtime(cand)}")
-                    break
-            else:
-                parts.append(f"{name}:demo")
-        return "|".join(parts)
+    @staticmethod
+    def _tree_ident(tree) -> str:
+        """Structural identity of a weights tree (paths + shapes + dtypes).
+        Weights ride as jit ARGUMENTS, so pinned executables are
+        weight-VALUE-agnostic: a retrained checkpoint with the same
+        architecture reuses its pins; any arch change (different shapes)
+        invalidates them."""
+        import hashlib
+
+        items = [
+            f"{jax.tree_util.keystr(k)}:{tuple(v.shape)}:{v.dtype}"
+            for k, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+        ]
+        return hashlib.sha256("|".join(sorted(items)).encode()).hexdigest()[:16]
 
     def _pin_executables(self, batches: Tuple[int, ...]) -> None:
         """AOT-pin every serving program (model x batch bucket): load from
@@ -898,9 +898,9 @@ class InferenceEngine:
 
         cfg = self.cfg
         s = cfg.img_size
-        weights_id = self._ckpt_ident()
         t_all = time.time()
         for name, (jit_fn, weights) in self._jit_fns.items():
+            weights_id = self._tree_ident(weights)
             execs = {}
             for b in batches:
                 key = aot_fingerprint(
