@@ -187,6 +187,20 @@ SERVE_DIFFUSION_STEPS = 8  # run.py:107
 # engine picks the width up from checkpoint metadata automatically.
 WIDE_DIFFUSION = DiffusionUNetConfig(model_channels=96)
 
+# TPU-native hybrid profile (round-3 ablation winner, PARITY.md hybrid
+# ablation table): residual expert-fed fusion trained with the PSNR-aligned
+# l2 loss — +0.47 dB over plain NAFNet on xraybench-v1 through the real
+# serving path, where the reference architecture + loss measured -0.58 dB.
+# Train: examples/hybrid_ablation.py (cells resid_l2_w48 / resid_exp_l2_w48)
+# or recipes.train_hybrid(..., hybrid_cfg=TPU_HYBRID, loss_variant="l2").
+# Serves drop-in: the engine reads fusion_params/router_params/expert_params
+# from checkpoint metadata.
+TPU_HYBRID = HybridConfig(
+    fusion=FusionConfig(residual=True, sees_expert=True),
+    training_diffusion_steps=8,
+    inference_diffusion_steps=8,
+)
+
 # Secondary model families.
 CDDPM_UNET = DiffusionUNetConfig(skip_mode="cddpm")
 TINY_UNET = TinyUNetConfig()
