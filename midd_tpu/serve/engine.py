@@ -93,19 +93,23 @@ class EngineConfig:
     # dp/tp (set sp_size); alone it takes every device.
     spatial_parallel: bool = False
     sp_size: Optional[int] = None
-    # accelerated sampling: recompute epsilon every k-th step and reuse in
-    # between (FORA-style). GROUND-TRUTH-GATED on xraybench-v1 with fully
-    # trained checkpoints (PARITY.md frontier table): hybrid k=2 costs
-    # -0.08 dB for 1.47x (k=3 measured quality-EQUAL at 1.94x); standalone
-    # diffusion k=2 costs -0.70 dB. Served defaults: hybrid k=2 (quality-free
-    # within noise), standalone exact (its deltas are visible).
-    turbo_eps_reuse: int = 1
-    # None = auto: k=2 (the gated default) for per-path serving, but k =
-    # turbo_eps_reuse when the FUSED request path shares the standalone
-    # rollout with the hybrid — there the exact rollout is computed anyway,
-    # so matching it is simultaneously faster (no second rollout) and
-    # higher-quality than k=2.
-    hybrid_turbo_eps_reuse: Optional[int] = None
+    # accelerated sampling: an int k recomputes epsilon every k-th step
+    # (FORA-style uniform stride); a tuple of scan indices is an EXPLICIT
+    # refresh schedule (sampler.eps_refresh_idx). GROUND-TRUTH-GATED on
+    # xraybench-v1 (turbo_gate_r3.json + the round-3 schedule study,
+    # ROADMAP.md): on the 8-requested/9-actual serving rollout the studied
+    # schedule {0,2,6,7} is quality-free for the standalone path
+    # (-0.007 dB at 2.25x fewer UNet evals) while uniform k=2 costs
+    # -0.56 dB with MORE evals. The standalone default stays EXACT
+    # (uniform-stride quality proved weight-sensitive between checkpoints;
+    # gate per deployment), the hybrid default is the studied schedule.
+    turbo_eps_reuse: Any = 1
+    # None = auto (measured preference order): the fused shared rollout
+    # when available (free and exact); else the studied {0,2,6,7} schedule
+    # at the served 8-step count (quality-free-to-POSITIVE on BOTH gated
+    # hybrid profiles); else the legacy gated k=2 (index schedules are
+    # rollout-length-specific).
+    hybrid_turbo_eps_reuse: Optional[Any] = None
     # fused single-program requests: compile ALL FOUR model paths into ONE
     # XLA program for the /denoise contract. When the hybrid checkpoint
     # falls back to the standalone backends (trainer-saved hybrids / no
@@ -667,11 +671,16 @@ class InferenceEngine:
             and cfg.hybrid_diffusion_steps == cfg.diffusion_steps
         )
 
-        # Resolve the hybrid eps_reuse (EngineConfig.hybrid_turbo_eps_reuse
-        # docstring): auto picks the gated k=2 unless the fused path will
-        # share the standalone rollout, where matching it is strictly better
-        # — but never auto-inherit an UNGATED k > 2 (only k<=2 has ground-
-        # truth quality cover for the hybrid; PARITY.md frontier table).
+        # Resolve the hybrid eps setting (EngineConfig.hybrid_turbo_eps_reuse
+        # docstring). Auto rule, by measured preference:
+        # 1. fused path sharing the standalone rollout -> match it (the
+        #    shared exact rollout is free and higher-quality);
+        # 2. the served 8-step rollout (9 scan steps) -> the round-3 studied
+        #    schedule {0,2,6,7}: quality-free-to-POSITIVE on both hybrid
+        #    profiles (turbo_gate_r3/adopted.json: +0.06/+0.002 dB vs
+        #    exact) at 2.25x fewer UNet evals;
+        # 3. any other step count -> the legacy gated k=2 (index schedules
+        #    are length-specific).
         hk = cfg.hybrid_turbo_eps_reuse
         if hk is None:
             # a refresh-index tuple (beyond k) is never auto-inherited
@@ -681,7 +690,12 @@ class InferenceEngine:
                 and isinstance(cfg.turbo_eps_reuse, int)
                 and cfg.turbo_eps_reuse <= 2
             )
-            hk = cfg.turbo_eps_reuse if fused_will_share else 2
+            if fused_will_share:
+                hk = cfg.turbo_eps_reuse
+            elif cfg.hybrid_diffusion_steps == 8:
+                hk = (0, 2, 6, 7)
+            else:
+                hk = 2
         self.hybrid_eps_reuse = hk
 
         def _hyb_unet_vars(vh):
