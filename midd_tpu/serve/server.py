@@ -150,15 +150,19 @@ if __name__ == "__main__":
     ap.add_argument("--img-size", type=int, default=512)
     ap.add_argument("--ckpt-dir", default="checkpoints")
     ap.add_argument("--bf16", action="store_true")
-    ap.add_argument("--turbo", type=int, default=1,
-                    help="eps-reuse factor for the STANDALONE diffusion rollout "
-                         "(1 = exact; ground-truth frontier in PARITY.md)")
-    ap.add_argument("--turbo-hybrid", type=int, default=None,
-                    help="eps-reuse inside the hybrid path (default auto: 2 for "
-                         "per-path serving [-0.08 dB for 1.47x on the xraybench "
-                         "gate] but EXACT when the fused request path shares the "
-                         "standalone rollout, where exact is both faster and "
-                         "better; 3 measured quality-equal at 1.94x)")
+    ap.add_argument("--turbo", default="1",
+                    help="STANDALONE diffusion rollout eps setting: an int k "
+                         "(uniform reuse stride; 1 = exact, the default) or a "
+                         "comma list of refresh indices (round-3 study: "
+                         "'0,2,6,7' is quality-free at 2.25x fewer evals on "
+                         "the 8-step rollout — gate per deployment, "
+                         "ROADMAP.md)")
+    ap.add_argument("--turbo-hybrid", default=None,
+                    help="hybrid-path eps setting (int k or comma indices). "
+                         "Default auto: the fused shared rollout when "
+                         "available; else the studied '0,2,6,7' schedule at "
+                         "8 steps (quality-free-to-positive on both gated "
+                         "hybrid profiles); else k=2")
     ap.add_argument("--int8", action="store_true",
                     help="static-calibrated int8 convs in the diffusion UNets "
                          "(opt-in; quality-gated on xraybench — PARITY.md)")
@@ -197,14 +201,20 @@ if __name__ == "__main__":
                          "(single-device engines; see EngineConfig.aot_dir)")
     args = ap.parse_args()
 
+    def _parse_eps(v):
+        if v is None:
+            return None
+        s = str(v)
+        return tuple(int(i) for i in s.split(",")) if "," in s else int(s)
+
     import jax.numpy as jnp
 
     cfg = EngineConfig(
         img_size=args.img_size,
         ckpt_dir=args.ckpt_dir,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        turbo_eps_reuse=args.turbo,
-        hybrid_turbo_eps_reuse=args.turbo_hybrid,
+        turbo_eps_reuse=_parse_eps(args.turbo),
+        hybrid_turbo_eps_reuse=_parse_eps(args.turbo_hybrid),
         quantize_int8="static" if args.int8 else False,
         batching=args.batching,
         fused_request=args.fused or None,
