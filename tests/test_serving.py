@@ -190,3 +190,16 @@ def test_engine_accepts_refresh_index_tuples():
     assert np.isfinite(np.asarray(tup.fns["hybrid"](x))).all()
     assert np.isfinite(np.asarray(tup.turbo_fns["diffusion"](x))).all()
     assert np.isfinite(np.asarray(tup.turbo_fns["hybrid"](x))).all()
+
+
+def test_hybrid_auto_default_uses_studied_schedule_at_8_steps():
+    """hybrid_turbo_eps_reuse=None: the served 8-step rollout auto-adopts
+    the round-3 studied schedule {0,2,6,7}; other step counts keep the
+    legacy gated k=2 (index schedules are rollout-length-specific)."""
+    kw = dict(TINY)
+    kw.update(diffusion_steps=8, hybrid_diffusion_steps=8)
+    eng8 = InferenceEngine(EngineConfig(**kw, warmup=False))
+    assert eng8.hybrid_eps_reuse == (0, 2, 6, 7)
+
+    eng3 = InferenceEngine(EngineConfig(**TINY, warmup=False))
+    assert eng3.hybrid_eps_reuse == 2
