@@ -55,6 +55,11 @@ VARIANTS = {
 LOSS_VARIANTS = {
     "resid_l2_w48": (True, False, False, "l2"),
     "resid_exp_l2_w48": (True, False, True, "l2"),
+    # round-3 follow-up: "width is not the constraint" was established under
+    # the REFERENCE loss (resid_exp_w48 == resid_exp_w96 at 45.48); this cell
+    # retests it under the adopted l2 loss, where the head can actually use
+    # whatever extra signal the wide backend provides
+    "resid_exp_l2_w96": (True, True, True, "l2"),
 }
 
 
@@ -129,6 +134,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--epochs-scale", type=float, default=1.0)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="train/score just this variant and merge it into an "
+                         "existing --json-out (skips anchors + other cells)")
     ap.add_argument("--json-out", default=os.path.join(REPO, "hybrid_ablation.json"))
     args = ap.parse_args()
 
@@ -137,21 +145,27 @@ def main():
 
     eval_set = make_eval_set(8, 256)
     results = {}
+    if args.only and os.path.exists(args.json_out):
+        with open(args.json_out) as f:
+            results = json.load(f)["results"]
 
-    # anchors: plain NAFNet (the bar) and the round-2 hybrid checkpoint
-    eng0 = InferenceEngine(EngineConfig(
-        img_size=256, diffusion_steps=8, hybrid_diffusion_steps=8,
-        ckpt_dir=BENCH, warmup=False, turbo_eps_reuse=1,
-        hybrid_turbo_eps_reuse=1,
-    ))
-    results["nafnet"] = score_fn(eng0.fns["nafnet"], eval_set)
-    results["hybrid_round2"] = score_fn(eng0.fns["hybrid"], eval_set)
-    del eng0
+    if not args.only:
+        # anchors: plain NAFNet (the bar) and the round-2 hybrid checkpoint
+        eng0 = InferenceEngine(EngineConfig(
+            img_size=256, diffusion_steps=8, hybrid_diffusion_steps=8,
+            ckpt_dir=BENCH, warmup=False, turbo_eps_reuse=1,
+            hybrid_turbo_eps_reuse=1,
+        ))
+        results["nafnet"] = score_fn(eng0.fns["nafnet"], eval_set)
+        results["hybrid_round2"] = score_fn(eng0.fns["hybrid"], eval_set)
+        del eng0
 
     all_variants = {
         **{k: (*v, "reference") for k, v in VARIANTS.items()},
         **LOSS_VARIANTS,
     }
+    if args.only:
+        all_variants = {args.only: all_variants[args.only]}
     for name, (residual, wide, sees_expert, lv) in all_variants.items():
         ck = os.path.join(OUT_DIR, name, "hybrid")
         if args.force or not os.path.isdir(ck):

@@ -43,7 +43,13 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--img-size", type=int, default=256)
     ap.add_argument("--brute-max-evals", type=int, default=4,
-                    help="exhaustively try every mask with <= this many evals")
+                    help="exhaustively try every mask with <= this many evals"
+                         " (rollouts <= 12 steps only)")
+    ap.add_argument("--greedy-max-evals", type=int, default=14,
+                    help="long rollouts: greedy forward selection up to this"
+                         " budget (stops early once quality-free)")
+    ap.add_argument("--quality-free-db", type=float, default=0.01,
+                    help="greedy stops when |delta| <= this")
     ap.add_argument("--json-out",
                     default=os.path.join(REPO, "turbo_schedule_study.json"))
     args = ap.parse_args()
@@ -87,8 +93,8 @@ def main():
     def score(mask_bools) -> dict:
         mask = jnp.asarray(mask_bools, jnp.bool_)
         ps, ss = [], []
-        for i in range(0, len(eval_set), 4):
-            chunk = eval_set[i : i + 4]
+        for i in range(0, len(eval_set), 8):
+            chunk = eval_set[i : i + 8]
             noisy = jnp.asarray(np.stack([c[1] for c in chunk]))
             pred = roll(noisy, mask)
             for j, (clean, _, _) in enumerate(chunk):
@@ -119,9 +125,15 @@ def main():
         print(f"stale@{i}: {r['psnr'] - exact_psnr:+.3f} dB")
     results["leave_one_out"] = loo
 
-    # 2. named schedules at budgets
+    # 2. named schedules at budgets (long rollouts: a log-spaced subset —
+    # 48 budgets x 4 modes at 50 steps would be pure tunnel time)
+    if n_steps <= 12:
+        budgets = range(2, n_steps)
+    else:
+        budgets = sorted({3, 5, 7, 9, 13, 17, 25, (n_steps + 1) // 2,
+                          (n_steps + 2) // 3} & set(range(2, n_steps)))
     named = {}
-    for n_evals in range(2, n_steps):
+    for n_evals in budgets:
         for mode in ("uniform", "last", "front", "tail"):
             idx = refresh_schedule(n_steps, n_evals, mode)
             r = score(mask_from_idx(idx))
@@ -140,20 +152,49 @@ def main():
         print(f"stride k={k}: {r['psnr'] - exact_psnr:+.3f} dB "
               f"({r['n_evals']} evals)")
 
-    # 3. exhaustive frontier at small budgets (step 0 always fresh)
-    brute = []
-    for n_evals in range(2, args.brute_max_evals + 1):
-        best = None
-        for combo in itertools.combinations(range(1, n_steps), n_evals - 1):
-            idx = (0,) + combo
-            r = score(mask_from_idx(idx))
-            if best is None or r["psnr"] > best["psnr"]:
-                best = {**r, "idx": list(idx)}
-        best["delta_db"] = best["psnr"] - exact_psnr
-        brute.append(best)
-        print(f"best @{n_evals} evals: idx={best['idx']} "
-              f"{best['delta_db']:+.3f} dB")
-    results["brute_best"] = brute
+    # 3a. exhaustive frontier at small budgets (step 0 always fresh) —
+    # tractable only for short rollouts (9 steps: C(8, <=3) masks)
+    if n_steps <= 12:
+        brute = []
+        for n_evals in range(2, args.brute_max_evals + 1):
+            best = None
+            for combo in itertools.combinations(range(1, n_steps), n_evals - 1):
+                idx = (0,) + combo
+                r = score(mask_from_idx(idx))
+                if best is None or r["psnr"] > best["psnr"]:
+                    best = {**r, "idx": list(idx)}
+            best["delta_db"] = best["psnr"] - exact_psnr
+            brute.append(best)
+            print(f"best @{n_evals} evals: idx={best['idx']} "
+                  f"{best['delta_db']:+.3f} dB")
+        results["brute_best"] = brute
+    else:
+        # 3b. greedy forward selection: start from {0} (the sampler always
+        # evaluates step 0 — there is no stale eps to reuse yet), repeatedly
+        # add the single refresh index that maximizes PSNR. Effects are
+        # non-additive (PARITY round-3: consecutive stale steps partially
+        # cancel), so candidates stay unpruned — every absent index is tried
+        # at every level. Stops once quality-free vs exact.
+        chosen = [0]
+        greedy = []
+        while len(chosen) < args.greedy_max_evals:
+            best = None
+            for cand in range(1, n_steps):
+                if cand in chosen:
+                    continue
+                r = score(mask_from_idx(chosen + [cand]))
+                if best is None or r["psnr"] > best[0]["psnr"]:
+                    best = (r, cand)
+            chosen.append(best[1])
+            chosen.sort()
+            entry = {**best[0], "idx": list(chosen),
+                     "delta_db": best[0]["psnr"] - exact_psnr}
+            greedy.append(entry)
+            print(f"greedy @{len(chosen)} evals: +{best[1]} -> idx={chosen} "
+                  f"{entry['delta_db']:+.3f} dB")
+            if entry["delta_db"] >= -args.quality_free_db:
+                break
+        results["greedy"] = greedy
 
     payload = {
         "protocol": "xraybench-v1",
