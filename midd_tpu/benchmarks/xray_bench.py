@@ -236,29 +236,50 @@ def train_all(
     n_train: int = 96,
     epochs_scale: float = 1.0,
     width_preset: str = "serve",
+    hybrid_profile: str = "reference",
 ):
     """Train nafnet -> diffusion -> expert -> hybrid on the protocol's train
-    split with the reference recipes (epochs scaled by ``epochs_scale``)."""
+    split with the reference recipes (epochs scaled by ``epochs_scale``).
+
+    ``hybrid_profile``: "reference" reproduces the reference architecture +
+    loss (run.py:60-74 semantics — the v1 protocol default); "tpu" trains
+    the adopted flagship instead (``config.TPU_HYBRID``: residual expert-fed
+    fusion + ``loss_variant="l2"`` — the round-3 ablation winner, +0.90 dB
+    over plain NAFNet on xraybench-v1; see PARITY.md hybrid ablation table).
+    Only the hybrid cell differs; the three backends are identical."""
     from midd_tpu import config
     from midd_tpu.train import recipes
     from midd_tpu.train.trainer import TrainConfig
 
+    if hybrid_profile not in ("reference", "tpu"):
+        raise ValueError(f"hybrid_profile must be 'reference' or 'tpu', got"
+                         f" {hybrid_profile!r}")
     ds = make_train_dataset(n_train, img_size)
     e = lambda n: max(2, int(n * epochs_scale))
 
+    tpu_fusion = config.FusionConfig(residual=True, sees_expert=True)
     if width_preset == "serve":
         naf_cfg, diff_cfg, exp_cfg = (
             config.SERVE_NAFNET, config.SERVE_DIFFUSION, config.SERVE_EXPERT,
         )
         # backends must match the checkpoints train_hybrid loads
-        hyb_cfg = config.HybridConfig(nafnet=naf_cfg, diffusion=diff_cfg)
+        hyb_cfg = config.HybridConfig(
+            nafnet=naf_cfg, diffusion=diff_cfg, expert=exp_cfg,
+            fusion=tpu_fusion if hybrid_profile == "tpu"
+            else config.FusionConfig(),
+        )
     else:  # "tiny": CI / smoke scale
         naf_cfg = config.NAFNetConfig(width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1))
         diff_cfg = config.DiffusionUNetConfig(model_channels=8, channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(1,), time_emb_dim=16)
         exp_cfg = config.ExpertConfig(base_channels=8)
         hyb_cfg = config.HybridConfig(
-            nafnet=naf_cfg, diffusion=diff_cfg,
-            router=config.RouterConfig(base_c=8), fusion=config.FusionConfig(base_c=16),
+            nafnet=naf_cfg, diffusion=diff_cfg, expert=exp_cfg,
+            router=config.RouterConfig(base_c=8),
+            fusion=config.FusionConfig(
+                base_c=16,
+                residual=hybrid_profile == "tpu",
+                sees_expert=hybrid_profile == "tpu",
+            ),
         )
 
     recipes.train_nafnet(
@@ -281,11 +302,13 @@ def train_all(
         ds,
         nafnet_ckpt=f"{ckpt_dir}/nafnet",
         diffusion_ckpt=f"{ckpt_dir}/diffusion",
+        expert_ckpt=f"{ckpt_dir}/expert" if hybrid_profile == "tpu" else None,
         hybrid_cfg=hyb_cfg,
         train_cfg=TrainConfig(epochs=e(50), batch_size=4, lr=4e-4,
                               weight_decay=1e-4, eta_min_factor=0.02,
                               patience=20, ckpt_name="hybrid",
                               ckpt_dir=ckpt_dir),
+        loss_variant="l2" if hybrid_profile == "tpu" else "reference",
     )
 
 
@@ -335,6 +358,11 @@ def main():
                          "(comma-separated scan indices; repeatable)")
     ap.add_argument("--epochs-scale", type=float, default=1.0)
     ap.add_argument("--width-preset", choices=("serve", "tiny"), default="serve")
+    ap.add_argument("--hybrid-profile", choices=("reference", "tpu"),
+                    default="reference",
+                    help="hybrid cell for --train: 'reference' (v1 protocol"
+                         " default) or 'tpu' (config.TPU_HYBRID + l2 loss,"
+                         " the adopted flagship)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--int8", action="store_true",
                     help="serve the diffusion UNets with static-calibrated "
@@ -344,7 +372,7 @@ def main():
 
     if args.train:
         train_all(args.ckpt_dir, args.img_size, args.n_train,
-                  args.epochs_scale, args.width_preset)
+                  args.epochs_scale, args.width_preset, args.hybrid_profile)
 
     eval_set = make_eval_set(args.n_eval, args.img_size)
     import jax.numpy as jnp

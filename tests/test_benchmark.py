@@ -111,6 +111,42 @@ def test_evaluate_entry_point(tmp_path):
     assert np.isfinite(res["psnr"]) and np.isfinite(res["ssim"])
 
 
+def test_train_all_tpu_hybrid_profile(tmp_path, monkeypatch):
+    """`xray_bench --train --hybrid-profile tpu` writes a hybrid checkpoint
+    carrying the adopted flagship arch (residual expert-fed fusion) that the
+    scoring engine loads drop-in from metadata."""
+    from midd_tpu.benchmarks.xray_bench import train_all
+    from midd_tpu.serve.engine import EngineConfig, InferenceEngine
+    from midd_tpu.utils.checkpoint import load_checkpoint
+
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = str(tmp_path / "ck")
+    train_all(ckpt_dir, img_size=32, n_train=4, epochs_scale=0.01,
+              width_preset="tiny", hybrid_profile="tpu")
+    tree, meta = load_checkpoint(f"{ckpt_dir}/hybrid")
+    assert meta["fusion_params"]["residual"]
+    assert meta["fusion_params"]["sees_expert"]
+    # the frozen third branch's arch is recorded for drop-in serving
+    assert meta["expert_params"]["base_channels"] == 8
+    engine = InferenceEngine(EngineConfig(
+        img_size=32, diffusion_steps=2, hybrid_diffusion_steps=2,
+        ckpt_dir=ckpt_dir, warmup=False,
+        expert_cfg=c.ExpertConfig(base_channels=8),
+    ))
+    eval_set = make_eval_set(n_per_noise=1, img_size=32)
+    r = score_fn(engine.fns["hybrid"], eval_set)
+    assert np.isfinite(r["overall"]["psnr"])
+
+
+def test_train_all_rejects_unknown_hybrid_profile(tmp_path):
+    from midd_tpu.benchmarks.xray_bench import train_all
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hybrid_profile"):
+        train_all(str(tmp_path), hybrid_profile="typo")
+
+
 def test_format_table_renders():
     from midd_tpu.benchmarks.xray_bench import format_table
 
