@@ -118,7 +118,22 @@ class ConvTransposeTorch(nn.Module):
 
 class GroupNorm32(nn.Module):
     """torch ``nn.GroupNorm(groups, C)`` (eps=1e-5, biased variance), computed
-    in fp32 and cast back to the input dtype."""
+    in fp32 and cast back to the input dtype.
+
+    TPU layout note: the textbook formulation reshapes (..., C) to
+    (..., g, C/g) and reduces the trailing pair — but C/g is 6..24 at this
+    model family's widths, so the reshape relayouts the WHOLE tensor onto a
+     6-wide lane dimension (of 128) twice per call. Measured on v5e at the
+    serving shape this made GroupNorm 20% of the UNet forward
+    (examples/forward_attribution.py: 4.26 ms of 21.7 ms, of which 2.56 ms
+    was the materialized fp32 round-trip). This implementation keeps the big
+    tensor channels-minor end to end: spatial moments reduce per channel
+    (casts fuse into the reduction, nothing fp32 is materialized), the group
+    combine happens on the tiny (B, C) moment arrays, and the normalize is a
+    broadcast elementwise chain that XLA fuses into the consumer. Identical
+    math — the grand mean/biased variance over (spatial x group) equals the
+    equal-count mean of per-channel moments; only fp reassociation differs.
+    """
 
     num_groups: int = 8
     epsilon: float = 1e-5
@@ -128,15 +143,21 @@ class GroupNorm32(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        xf = x.astype(jnp.float32)
         g = self.num_groups
-        shape = xf.shape[:-1] + (g, c // g)
-        xg = xf.reshape(shape)
-        red = tuple(range(1, xf.ndim - 1)) + (xf.ndim,)
-        mean = xg.mean(axis=red, keepdims=True)
-        var = jnp.mean(jnp.square(xg - mean), axis=red, keepdims=True)
-        xg = (xg - mean) / jnp.sqrt(var + self.epsilon)
-        out = xg.reshape(xf.shape) * scale + bias
+        cg = c // g
+        xf = x.astype(jnp.float32)
+        spatial = tuple(range(1, x.ndim - 1))
+
+        def per_channel_to_full(m_c: jnp.ndarray) -> jnp.ndarray:
+            # (B, C) channel moments -> equal-count group moments,
+            # broadcast back to (B, 1, ..., 1, C)
+            m_g = m_c.reshape(m_c.shape[0], g, cg).mean(axis=-1)
+            m = jnp.repeat(m_g, cg, axis=-1)
+            return m.reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (c,))
+
+        mean = per_channel_to_full(jnp.mean(xf, axis=spatial))
+        var = per_channel_to_full(jnp.mean(jnp.square(xf - mean), axis=spatial))
+        out = (xf - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
         return out.astype(x.dtype)
 
 

@@ -19,12 +19,62 @@ import jax.numpy as jnp
 from einops import rearrange
 
 
+def _up2_conv(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact half-pixel bilinear 2x upsample as one transposed conv (MXU).
+
+    At factor 2 the half-pixel kernel weights are constants: output ``m``
+    maps to source ``m/2 - 0.25``, so evens are ``0.25*in[i-1] + 0.75*in[i]``
+    and odds ``0.75*in[i] + 0.25*in[i+1]``. That is exactly a fractionally-
+    strided conv with the separable kernel ``[0.25, 0.75, 0.75, 0.25]`` per
+    axis and an identity channel mixing — one MXU op instead of a VPU
+    interleave, which on TPU would relayout the sublane dims twice
+    (measured: the elementwise stencil was no faster than the general
+    gather/matmul resize; this form is).
+
+    Boundary: torch clamps out-of-range taps onto the border pixel; a
+    1-pixel edge-replicated border reproduces that exactly under zero-pad
+    conv. With the border, the conv output index ``m+1`` equals desired
+    output ``m`` (the replicated pixel shifts the phase by one), hence the
+    final crop.
+    """
+    b, h, w, c = x.shape
+    xp = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
+    xp = jnp.concatenate([xp[:, :, :1], xp, xp[:, :, -1:]], axis=2)
+    k1 = jnp.array([0.25, 0.75, 0.75, 0.25], x.dtype)
+    k2 = jnp.outer(k1, k1)
+    kern = k2[:, :, None, None] * jnp.eye(c, dtype=x.dtype)[None, None]
+    y = jax.lax.conv_general_dilated(
+        xp, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y[:, 1 : 2 * h + 1, 1 : 2 * w + 1, :]
+
+
+def _down2_pool(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Exact half-pixel bilinear 2x downsample: the factor-2 kernel weights
+    are 0.5/0.5 per axis, i.e. 2x2 mean pooling (TPU reduce_window path)."""
+    s = jax.lax.reduce_window(
+        x, jnp.zeros((), x.dtype), jax.lax.add,
+        (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return s * jnp.asarray(0.25, x.dtype)
+
+
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """torch ``F.interpolate(x, size, mode='bilinear', align_corners=False)``
-    for NHWC input. Half-pixel centers, no antialias (torch's default)."""
-    if x.shape[1:3] == tuple(size):
+    for NHWC input. Half-pixel centers, no antialias (torch's default).
+
+    The decoder ping-pong (see models/unet_diffusion.py) makes this a hot
+    op: exact 2x up/down take fixed-kernel MXU/reduce-window paths (same
+    math — see ``_up2_conv``/``_down2_pool``); everything else falls back to
+    the general ``jax.image.resize`` gather/matmul path.
+    """
+    h, w = x.shape[1], x.shape[2]
+    if (h, w) == tuple(size):
         return x
     b, _, _, c = x.shape
+    if size[0] == 2 * h and size[1] == 2 * w:
+        return _up2_conv(x)
+    if 2 * size[0] == h and 2 * size[1] == w:
+        return _down2_pool(x, size)
     return jax.image.resize(
         x, (b, size[0], size[1], c), method="linear", antialias=False
     ).astype(x.dtype)

@@ -144,8 +144,10 @@ def test_layernorm2d_parity(ref, rng):
 def test_resize_bilinear_matches_torch(rng):
     from midd_tpu.ops.image import resize_bilinear
 
+    # (26, 34) exercises the exact-2x-up stencil path, (6, 8) the exact
+    # 2x-down (mean-pool) path, the rest the general gather/matmul fallback
     x = _rand(rng, 2, 13, 17, 3)
-    for size in [(26, 34), (7, 9), (13, 17), (52, 51)]:
+    for size in [(26, 34), (7, 9), (13, 17), (52, 51), (6, 8)]:
         ours = np.asarray(resize_bilinear(jnp.asarray(x), size))
         theirs = _to_nhwc(
             torch.nn.functional.interpolate(
@@ -153,6 +155,14 @@ def test_resize_bilinear_matches_torch(rng):
             )
         )
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
+    x2 = _rand(rng, 1, 12, 16, 2)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x2), (6, 8)))
+    theirs = _to_nhwc(
+        torch.nn.functional.interpolate(
+            _nchw(x2), size=(6, 8), mode="bilinear", align_corners=False
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
 def test_pixel_shuffle_matches_torch(rng):
