@@ -133,6 +133,14 @@ class GroupNorm32(nn.Module):
     broadcast elementwise chain that XLA fuses into the consumer. Identical
     math — the grand mean/biased variance over (spatial x group) equals the
     equal-count mean of per-channel moments; only fp reassociation differs.
+
+    Pass-count note: variance uses E[x^2] - mean^2 (fp32 accumulators, clamped
+    at 0) instead of E[(x-mean)^2]. The centered form makes the var reduction
+    depend on the mean reduction — two sequential HBM passes over the tensor —
+    while sum and sum-of-squares are independent siblings that XLA
+    multi-output-fuses into ONE pass. fp32 catastrophic cancellation is bounded
+    by (mean/std)^2 * 2^-24, harmless at activation statistics; parity vs torch
+    GroupNorm holds at the suite's 5e-4.
     """
 
     num_groups: int = 8
@@ -156,7 +164,8 @@ class GroupNorm32(nn.Module):
             return m.reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (c,))
 
         mean = per_channel_to_full(jnp.mean(xf, axis=spatial))
-        var = per_channel_to_full(jnp.mean(jnp.square(xf - mean), axis=spatial))
+        m2 = per_channel_to_full(jnp.mean(jnp.square(xf), axis=spatial))
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
         out = (xf - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
         return out.astype(x.dtype)
 

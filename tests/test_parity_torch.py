@@ -121,6 +121,24 @@ def test_conv_transpose_parity(rng):
         np.testing.assert_allclose(ours, theirs, atol=ATOL)
 
 
+def test_groupnorm32_parity(rng):
+    # Direct unit parity for GroupNorm32 (usually only covered through the
+    # full-model golden tests): offset + scaled input stresses the
+    # E[x^2]-mean^2 one-pass variance against torch's centered form.
+    tm = torch.nn.GroupNorm(8, 48)
+    with torch.no_grad():
+        tm.weight.copy_(torch.randn_like(tm.weight))
+        tm.bias.copy_(torch.randn_like(tm.bias))
+    from midd_tpu.models.blocks import GroupNorm32
+
+    x = _rand(rng, 2, 9, 11, 48) * 4 + 7
+    jm = GroupNorm32()
+    variables = _convert(tm, jm, jnp.asarray(x))
+    ours = _apply(jm, variables, jnp.asarray(x))
+    theirs = _to_nhwc(tm(_nchw(x)))
+    np.testing.assert_allclose(ours, theirs, atol=ATOL)
+
+
 def test_layernorm2d_parity(ref, rng):
     tm = ref["nafnet"].LayerNorm(24)
     with torch.no_grad():
