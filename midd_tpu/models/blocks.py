@@ -174,7 +174,15 @@ class LayerNorm2d(nn.Module):
     """NAFNet channel LayerNorm (NafNet/NafnetModel.py:159-172): per-pixel
     statistics over the channel axis, biased variance, eps=1e-6, forced fp32
     (the hybrid variant, hybrid3diffusionspeed.py:101-115 — numerically
-    identical in fp32, and the safe choice under bf16)."""
+    identical in fp32, and the safe choice under bf16).
+
+    Variance is one-pass E[x^2]-mean^2 like GroupNorm32 (worth ~4 ms on the
+    b8 512^2 NAFNet forward). A fused Pallas kernel was built and measured
+    SLOWER than this XLA form at every NAFNet stage (ops/ln2d.py keeps the
+    kernel + the decision record; examples/ln_kernel_bench.py is the
+    per-stage evidence) — XLA fuses the normalize+affine into the consumer
+    conv, so the only real LN cost left is the C=32 stage's HBM lane-padding,
+    which no same-layout kernel can remove."""
 
     epsilon: float = 1e-6
 
@@ -185,7 +193,9 @@ class LayerNorm2d(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         xf = x.astype(jnp.float32)
         u = xf.mean(axis=-1, keepdims=True)
-        s = jnp.mean(jnp.square(xf - u), axis=-1, keepdims=True)
+        s = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(u), 0.0
+        )
         out = (xf - u) / jnp.sqrt(s + self.epsilon) * scale + bias
         return out.astype(x.dtype)
 
