@@ -51,11 +51,15 @@ def _up2_conv(x: jnp.ndarray) -> jnp.ndarray:
 
 def _down2_pool(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Exact half-pixel bilinear 2x downsample: the factor-2 kernel weights
-    are 0.5/0.5 per axis, i.e. 2x2 mean pooling (TPU reduce_window path)."""
-    s = jax.lax.reduce_window(
-        x, jnp.zeros((), x.dtype), jax.lax.add,
-        (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
-    return s * jnp.asarray(0.25, x.dtype)
+    are 0.5/0.5 per axis, i.e. 2x2 mean pooling. Expressed as split-dims +
+    mean (layout-free dim splits, small-axis reduce) rather than
+    ``lax.reduce_window``: identical XLA lowering on TPU, and reduce_window
+    with a generic computation has no reverse-mode autodiff (the hybrid
+    trainer differentiates through the decoder's shape-fix resizes)."""
+    b, h, w, c = x.shape
+    s = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    quarter = jnp.asarray(0.25, x.dtype)
+    return (s.sum(axis=(2, 4)) * quarter).astype(x.dtype)
 
 
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
