@@ -20,33 +20,35 @@ from einops import rearrange
 
 
 def _up2_conv(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact half-pixel bilinear 2x upsample as one transposed conv (MXU).
+    """Exact half-pixel bilinear 2x upsample as a separable VPU stencil.
 
-    At factor 2 the half-pixel kernel weights are constants: output ``m``
-    maps to source ``m/2 - 0.25``, so evens are ``0.25*in[i-1] + 0.75*in[i]``
-    and odds ``0.75*in[i] + 0.25*in[i+1]``. That is exactly a fractionally-
-    strided conv with the separable kernel ``[0.25, 0.75, 0.75, 0.25]`` per
-    axis and an identity channel mixing — one MXU op instead of a VPU
-    interleave, which on TPU would relayout the sublane dims twice
-    (measured: the elementwise stencil was no faster than the general
-    gather/matmul resize; this form is).
+    At factor 2 the half-pixel kernel weights are constants: output ``2i``
+    maps to ``0.25*in[i-1] + 0.75*in[i]`` and output ``2i+1`` to
+    ``0.75*in[i] + 0.25*in[i+1]`` per axis (border taps clamp, matching
+    torch, via the 1-pixel edge-replicated pad). The two phases are weighted
+    shifted sums interleaved with a stack+reshape per axis — all VPU
+    elementwise + sublane-dim regroups, channels-minor throughout.
 
-    Boundary: torch clamps out-of-range taps onto the border pixel; a
-    1-pixel edge-replicated border reproduces that exactly under zero-pad
-    conv. With the border, the conv output index ``m+1`` equals desired
-    output ``m`` (the replicated pixel shifts the phase by one), hence the
-    final crop.
+    Measured on v5e (scan-20, bf16) against the alternatives at the decoder
+    ping-pong shapes (512² b1 level-0 / 256² b8 / 96-ch):
+    transposed-conv with identity channel mix 3.31/2.47/1.97 ms (the C×
+    FLOP waste of the identity mixing bites at 512²), depthwise conv
+    2.71/2.30/1.66, general gather resize 1.88/2.30/1.71, THIS FORM
+    **1.37/1.62/1.40** — the round-3 "conv form beats elementwise" note
+    was an artifact of an unfused earlier formulation; the phase-interleave
+    stencil is the fastest everywhere and was re-adopted.
     """
     b, h, w, c = x.shape
     xp = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
     xp = jnp.concatenate([xp[:, :, :1], xp, xp[:, :, -1:]], axis=2)
-    k1 = jnp.array([0.25, 0.75, 0.75, 0.25], x.dtype)
-    k2 = jnp.outer(k1, k1)
-    kern = k2[:, :, None, None] * jnp.eye(c, dtype=x.dtype)[None, None]
-    y = jax.lax.conv_general_dilated(
-        xp, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y[:, 1 : 2 * h + 1, 1 : 2 * w + 1, :]
+    hi = jnp.asarray(0.75, x.dtype)
+    lo = jnp.asarray(0.25, x.dtype)
+    r_ev = lo * xp[:, :-2] + hi * xp[:, 1:-1]
+    r_od = hi * xp[:, 1:-1] + lo * xp[:, 2:]
+    rows = jnp.stack([r_ev, r_od], axis=2).reshape(b, 2 * h, w + 2, c)
+    c_ev = lo * rows[:, :, :-2] + hi * rows[:, :, 1:-1]
+    c_od = hi * rows[:, :, 1:-1] + lo * rows[:, :, 2:]
+    return jnp.stack([c_ev, c_od], axis=3).reshape(b, 2 * h, 2 * w, c)
 
 
 def _down2_pool(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
