@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--n", type=int, default=5)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--diffusion-eps", default="1",
+                    help="standalone rollout eps: int k, comma indices, or "
+                         "'auto' (the serving default)")
     ap.add_argument("--hybrid-eps", default="1",
                     help="hybrid eps setting: int k or comma list of refresh "
                          "indices")
@@ -46,10 +49,13 @@ def main():
 
     from midd_tpu.serve.engine import EngineConfig, InferenceEngine
 
-    eps = (
-        tuple(int(x) for x in args.hybrid_eps.split(","))
-        if "," in args.hybrid_eps else int(args.hybrid_eps)
-    )
+    def _eps(v):
+        if v == "auto":
+            return v
+        return tuple(int(x) for x in v.split(",")) if "," in v else int(v)
+
+    eps = _eps(args.hybrid_eps)
+    deps = _eps(args.diffusion_eps)
     t0 = time.time()
     eng = InferenceEngine(EngineConfig(
         img_size=args.img_size,
@@ -58,7 +64,7 @@ def main():
         ckpt_dir=args.ckpt_dir,
         warmup=True,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        turbo_eps_reuse=1,
+        turbo_eps_reuse=deps,
         hybrid_turbo_eps_reuse=eps,
     ))
     log(f"engine warm in {time.time() - t0:.0f}s")
@@ -99,6 +105,7 @@ def main():
     row = {
         "img_size": s, "steps": args.steps, "bf16": args.bf16,
         "hybrid_eps": args.hybrid_eps,
+        "diffusion_eps": args.diffusion_eps,
         "hybrid_p50_ms": round(hybrid_ms, 1),
         "all4_p50_ms": round(all4_ms, 1),
     }

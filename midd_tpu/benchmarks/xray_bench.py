@@ -404,6 +404,12 @@ def main():
         ]
         results = turbo_gate(kw, eval_set, extra_schedules=extra)
     else:
+        # the xraybench-v1 protocol scores the EXACT rollouts; turbo
+        # schedules are gated separately (--turbo-gate) so the table stays
+        # comparable as serving defaults evolve (EngineConfig's default is
+        # now "auto" = the gated schedule at 8 steps)
+        kw.setdefault("turbo_eps_reuse", 1)   # k=1 == every step fresh
+        kw.setdefault("hybrid_turbo_eps_reuse", 1)
         engine = InferenceEngine(EngineConfig(**kw))
         results = score_engine(engine, eval_set)
 

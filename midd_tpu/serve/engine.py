@@ -100,10 +100,14 @@ class EngineConfig:
     # ROADMAP.md): on the 8-requested/9-actual serving rollout the studied
     # schedule {0,2,6,7} is quality-free for the standalone path
     # (-0.007 dB at 2.25x fewer UNet evals) while uniform k=2 costs
-    # -0.56 dB with MORE evals. The standalone default stays EXACT
-    # (uniform-stride quality proved weight-sensitive between checkpoints;
-    # gate per deployment), the hybrid default is the studied schedule.
-    turbo_eps_reuse: Any = 1
+    # -0.56 dB with MORE evals. "auto" (the default) serves the studied
+    # schedule at the 8-step serving count and exact everywhere else:
+    # the schedule has now passed the standalone gate on TWO independent
+    # checkpoint generations (-0.007 dB then +0.05, turbo_gate_r3.json /
+    # turbo_gate_r3b.json) — unlike uniform strides, whose quality proved
+    # weight-sensitive. Pin 1 for the exact reference rollout; always
+    # re-gate per deployment (xray_bench --turbo-gate).
+    turbo_eps_reuse: Any = "auto"
     # None = auto (measured preference order): the fused shared rollout
     # when available (free and exact); else the studied {0,2,6,7} schedule
     # at the served 8-step count (quality-free-to-POSITIVE on BOTH gated
@@ -564,7 +568,14 @@ class InferenceEngine:
 
             return fn
 
-        diffusion_fn = make_diffusion_fn(cfg.turbo_eps_reuse)
+        # Resolve the standalone eps setting ("auto" -> the twice-gated
+        # {0,2,6,7} schedule at the served 8-step count, exact otherwise;
+        # index schedules are rollout-length-specific).
+        dk = cfg.turbo_eps_reuse
+        if dk == "auto":
+            dk = (0, 2, 6, 7) if cfg.diffusion_steps == 8 else 1
+        self.diffusion_eps_reuse = dk
+        diffusion_fn = make_diffusion_fn(dk)
 
         # NAFNet path (arch from checkpoint metadata when present, run.py:45-47)
         naf_cfg = self._nafnet_cfg_from_meta(self._peek_meta("nafnet"), cfg.nafnet_cfg)
@@ -687,11 +698,11 @@ class InferenceEngine:
             fused_will_share = (
                 bool(cfg.fused_request)
                 and rollout_shareable
-                and isinstance(cfg.turbo_eps_reuse, int)
-                and cfg.turbo_eps_reuse <= 2
+                and isinstance(dk, int)
+                and dk <= 2
             )
             if fused_will_share:
-                hk = cfg.turbo_eps_reuse
+                hk = dk
             elif cfg.hybrid_diffusion_steps == 8:
                 hk = (0, 2, 6, 7)
             else:
@@ -749,7 +760,7 @@ class InferenceEngine:
 
         # Fused single-program request path (see EngineConfig.fused_request).
         share_backends = fell_back
-        share_rollout = rollout_shareable and hk == cfg.turbo_eps_reuse
+        share_rollout = rollout_shareable and hk == dk
         fused_on = bool(cfg.fused_request)
         self.shares = {"backends": share_backends, "rollout": share_rollout}
         raw_fused = None
@@ -761,7 +772,7 @@ class InferenceEngine:
                 eps = lambda a, c, t: unet.apply(v["diff"], a, c, t)
                 diff_raw = denoise(
                     eps, x, schedule, cfg.diffusion_steps,
-                    **_eps_kwargs(cfg.turbo_eps_reuse),
+                    **_eps_kwargs(dk),
                 )
                 vh = v["h"]
                 hyb_naf_fn = (
@@ -931,7 +942,7 @@ class InferenceEngine:
                     img_size=s,
                     steps=(cfg.diffusion_steps, cfg.hybrid_diffusion_steps),
                     eps=(
-                        cfg.turbo_eps_reuse,
+                        self.diffusion_eps_reuse,
                         self.hybrid_eps_reuse,
                         cfg.adaptive_diffusion_eps if cfg.adaptive_turbo else None,
                         cfg.adaptive_hybrid_eps if cfg.adaptive_turbo else None,

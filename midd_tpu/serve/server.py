@@ -150,12 +150,13 @@ if __name__ == "__main__":
     ap.add_argument("--img-size", type=int, default=512)
     ap.add_argument("--ckpt-dir", default="checkpoints")
     ap.add_argument("--bf16", action="store_true")
-    ap.add_argument("--turbo", default="1",
-                    help="STANDALONE diffusion rollout eps setting: an int k "
-                         "(uniform reuse stride; 1 = exact, the default) or a "
-                         "comma list of refresh indices (round-3 study: "
-                         "'0,2,6,7' is quality-free at 2.25x fewer evals on "
-                         "the 8-step rollout — gate per deployment, "
+    ap.add_argument("--turbo", default="auto",
+                    help="STANDALONE diffusion rollout eps setting: 'auto' "
+                         "(default: the twice-gated {0,2,6,7} schedule at the "
+                         "8-step serving count, exact otherwise), an int k "
+                         "(uniform reuse stride; 1 = exact reference "
+                         "rollout) or a comma list of refresh indices — "
+                         "gate per deployment (xray_bench --turbo-gate, "
                          "ROADMAP.md)")
     ap.add_argument("--turbo-hybrid", default=None,
                     help="hybrid-path eps setting (int k or comma indices). "
@@ -202,8 +203,8 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     def _parse_eps(v):
-        if v is None:
-            return None
+        if v is None or v == "auto":
+            return v
         s = str(v)
         return tuple(int(i) for i in s.split(",")) if "," in s else int(s)
 
