@@ -160,15 +160,17 @@ class EngineConfig:
     # Tier defaults = the round-3 turbo schedule study's brute-force
     # winners for the 9-step serving rollout (turbo_schedule_study.json;
     # gated per-checkpoint via xray_bench --turbo-gate --turbo-idx):
-    # {0,2,6,7} is quality-free (-0.008 dB) at 2.25x fewer UNet evals;
-    # {0,2,7} costs -0.11 dB at 3x. Uniform k-strides are strictly worse
+    # since {0,2,6,7} became the SERVING DEFAULT (quality-free on two
+    # checkpoint generations), escalation steps further down to {0,2,7}
+    # (3 evals; re-gate: standalone -0.12 dB, hybrid -0.009 —
+    # turbo_gate_r3b.json). Uniform k-strides are strictly worse
     # (k=2: -0.56 dB with MORE evals) — fresh eps matters at the trajectory
     # ends (steps 6-7; the final step's eps coefficient is 3x smaller and
     # nearly free to reuse), not on a uniform grid.
     adaptive_turbo: bool = False
     adaptive_queue_depth: int = 3
-    adaptive_diffusion_eps: Any = (0, 2, 6, 7)
-    adaptive_hybrid_eps: Any = (0, 2, 6, 7)
+    adaptive_diffusion_eps: Any = (0, 2, 7)
+    adaptive_hybrid_eps: Any = (0, 2, 7)
     # bounded admission: batcher.submit raises QueueFull beyond this many
     # waiting requests (the HTTP layer answers 503). None = unbounded.
     max_queue_depth: Optional[int] = None
