@@ -755,9 +755,34 @@ class InferenceEngine:
         # EngineConfig.adaptive_turbo); compiled alongside the exact paths
         raw_turbo = None
         if cfg.adaptive_turbo:
+            # index-schedule tier defaults are 9-step-rollout-specific; if a
+            # schedule doesn't fit the ACTUAL rollout length (stride
+            # arithmetic, not the requested step count) fall back to the
+            # legacy gated k=2 rather than silently dropping out-of-range
+            # refresh indices
+            from midd_tpu.diffusion.schedule import timestep_sequence
+
+            def tier_eps(setting, steps):
+                if isinstance(setting, (tuple, list)):
+                    n = len(timestep_sequence(schedule.noise_steps, steps))
+                    if max(setting) >= n:
+                        return 2
+                return setting
+
             raw_turbo = {
-                "diffusion": (make_diffusion_fn(cfg.adaptive_diffusion_eps), v_diff),
-                "hybrid": (make_hybrid_fn(cfg.adaptive_hybrid_eps), v_hb),
+                "diffusion": (
+                    make_diffusion_fn(
+                        tier_eps(cfg.adaptive_diffusion_eps, cfg.diffusion_steps)
+                    ),
+                    v_diff,
+                ),
+                "hybrid": (
+                    make_hybrid_fn(
+                        tier_eps(cfg.adaptive_hybrid_eps,
+                                 cfg.hybrid_diffusion_steps)
+                    ),
+                    v_hb,
+                ),
             }
 
         # Fused single-program request path (see EngineConfig.fused_request).
