@@ -114,6 +114,18 @@ class EngineConfig:
     # hybrid profiles); else the legacy gated k=2 (index schedules are
     # rollout-length-specific).
     hybrid_turbo_eps_reuse: Optional[Any] = None
+    # mixed-precision hybrid: run ONLY the hybrid's internal diffusion-UNet
+    # evals in bf16 (weights stay fp32; the posterior-mean update, NAFNet,
+    # expert, router and fusion keep the engine compute_dtype). Rationale:
+    # the whole-engine bf16 gate showed the STANDALONE diffusion path is
+    # bf16-free (−0.002 dB) while whole-engine bf16 costs the hybrid
+    # −0.34 dB (the NAFNet branch carries the loss) — and the fp32 rollout
+    # is ~80% of the hybrid's 512² latency. GATED on xraybench-v1
+    # (hybrid_bf16_rollout_gate.json): 46.227/0.9954 IDENTICAL to fp32 on
+    # the regenerated checkpoints, and −0.007 dB composed with the default
+    # refresh schedule — on by default; pin False for the all-fp32 hybrid,
+    # and re-gate per deployment like every precision lever.
+    hybrid_rollout_bf16: bool = True
     # fused single-program requests: compile ALL FOUR model paths into ONE
     # XLA program for the /denoise contract. When the hybrid checkpoint
     # falls back to the standalone backends (trainer-saved hybrids / no
@@ -661,6 +673,14 @@ class InferenceEngine:
                     cfg.hybrid_diffusion_steps,
                 )
             v_h_raw = {**v_h_raw, "diffusion_qscales": qs_h}
+        if cfg.hybrid_rollout_bf16:
+            # same arch + weights, bf16 eval dtype: the UNet casts its
+            # activations internally, eps returns bf16, and the sampler's
+            # posterior-mean update stays in the carry dtype (fp32)
+            hyb_unet = UNetDiffusion(
+                hyb_unet.cfg, use_flash=cfg.use_flash_attention,
+                dtype=jnp.bfloat16, quant=hyb_unet.quant,
+            )
         v_h = self._shard(v_h_raw)
         if fell_back:
             v_h = {
