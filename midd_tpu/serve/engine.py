@@ -126,6 +126,13 @@ class EngineConfig:
     # refresh schedule — on by default; pin False for the all-fp32 hybrid,
     # and re-gate per deployment like every precision lever.
     hybrid_rollout_bf16: bool = True
+    # mirror of hybrid_rollout_bf16 for the STANDALONE diffusion path: UNet
+    # evals in bf16, posterior-mean update + clip in fp32. The whole-path
+    # bf16 gate already measured this path bf16-free (−0.002 dB) and this
+    # form is strictly closer to fp32; gate on the regenerated checkpoints
+    # (hybrid_bf16_rollout_gate.json): 33.662 bf16 vs 33.653 fp32 —
+    # quality-FREE, on by default. No-op when compute_dtype is set.
+    diffusion_eval_bf16: bool = True
     # fused single-program requests: compile ALL FOUR model paths into ONE
     # XLA program for the /denoise contract. When the hybrid checkpoint
     # falls back to the standalone backends (trainer-saved hybrids / no
@@ -571,9 +578,22 @@ class InferenceEngine:
         # program as constants, and large profiles (w96 hybrid: both backends
         # ≈ 285 MB) exceed the remote-compile tunnel's request limit
         # (HTTP 413) — and bloat every serialized executable.
+        # standalone mixed precision (mirror of hybrid_rollout_bf16): UNet
+        # evals in bf16, posterior-mean update and clip in fp32. Gated:
+        # the whole-path-bf16 gate already measured the standalone
+        # diffusion path bf16-FREE (-0.002 dB, PARITY bf16 table), and this
+        # form is strictly closer to fp32 than that; re-gated per-ckpt in
+        # hybrid_bf16_rollout_gate.json's companion rows.
+        unet_eval = (
+            UNetDiffusion(diff_cfg, use_flash=cfg.use_flash_attention,
+                          dtype=jnp.bfloat16, quant=qmode)
+            if cfg.diffusion_eval_bf16 and dt is None
+            else unet
+        )
+
         def make_diffusion_fn(eps_setting):
             def fn(v, x):
-                eps = lambda a, c, t: unet.apply(v, a, c, t)
+                eps = lambda a, c, t: unet_eval.apply(v, a, c, t)
                 out = denoise(
                     eps, x, schedule, cfg.diffusion_steps,
                     **_eps_kwargs(eps_setting),
