@@ -196,6 +196,10 @@ if __name__ == "__main__":
     ap.add_argument("--max-queue", type=int, default=None,
                     help="bounded admission: 503 beyond this many waiting "
                          "requests (requires --batching)")
+    ap.add_argument("--exact", action="store_true",
+                    help="reference-exact serving: pins every gated default "
+                         "off (exact fp32 rollouts on both paths, fp32 UNet "
+                         "evals) — the numerics-parity mode")
     ap.add_argument("--aot", default=None, metavar="DIR",
                     help="AOT executable pinning dir: serialize serving "
                          "executables at first start, load on later starts "
@@ -214,8 +218,10 @@ if __name__ == "__main__":
         img_size=args.img_size,
         ckpt_dir=args.ckpt_dir,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        turbo_eps_reuse=_parse_eps(args.turbo),
-        hybrid_turbo_eps_reuse=_parse_eps(args.turbo_hybrid),
+        turbo_eps_reuse=1 if args.exact else _parse_eps(args.turbo),
+        hybrid_turbo_eps_reuse=1 if args.exact else _parse_eps(args.turbo_hybrid),
+        diffusion_eval_bf16=not args.exact,
+        hybrid_rollout_bf16=not args.exact,
         quantize_int8="static" if args.int8 else False,
         batching=args.batching,
         fused_request=args.fused or None,
