@@ -836,7 +836,10 @@ class InferenceEngine:
 
             def fused_fn(v, x):
                 naf_raw = naf.apply(v["naf"], x)
-                eps = lambda a, c, t: unet.apply(v["diff"], a, c, t)
+                # same eval model as make_diffusion_fn — the fused contract
+                # is bit-equality with the per-path programs, including the
+                # gated bf16-eval default
+                eps = lambda a, c, t: unet_eval.apply(v["diff"], a, c, t)
                 diff_raw = denoise(
                     eps, x, schedule, cfg.diffusion_steps,
                     **_eps_kwargs(dk),
