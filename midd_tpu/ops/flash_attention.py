@@ -252,11 +252,17 @@ def mha_flash(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
-    # block sizes tuned on TPU v5e at the serving shape (bh=16, n=4096, d=96):
-    # (512,512) 33.4ms < (512,1024) 33.9 < (1024,1024) 35.7 < (256,512) 36.5
+    # block sizes re-tuned round 3 on TPU v5e: standalone at n=4096
+    # (1024,1024) beats (512,512) ~9% at b1 AND b8 (2.41 vs 2.65 ms b8);
+    # end-to-end forwards confirm neutral-to-better at n=1024 too (256^2
+    # base 16.71 vs 16.76, 512^2-b1 15.96 vs 16.04). The round-2 note
+    # preferring (512,512) did not reproduce on current code. Caveat kept
+    # from the standalone study: at n=1024 b>=8 XLA attention wins
+    # STANDALONE (1.26 vs 1.40 ms) yet loses IN-GRAPH (attn_xla stub is
+    # +0.6 ms worse) — trust end-to-end attribution over microbenches.
     """(B, N, H, D) attention via the Pallas kernel, with XLA fallback."""
     if not supported(q, block_q, block_k):
         from midd_tpu.ops.attention import mha_reference
