@@ -28,12 +28,24 @@ def evaluate(
     batch_size: int = 1,
     engine_kwargs: Optional[dict] = None,
     engine: Optional[object] = None,
+    serving_defaults: bool = False,
 ):
+    """``serving_defaults=False`` (the default) pins the gated-non-exact
+    engine defaults OFF — this is a measurement tool, and quality numbers
+    compared against the reference must not silently include the turbo
+    refresh schedule or bf16 UNet evals (same pinning as xray_bench's
+    protocol). Pass True to measure what the serving stack actually ships."""
     from midd_tpu.inference import tta_4flip
     from midd_tpu.serve.engine import EngineConfig, InferenceEngine
     from midd_tpu.train.metrics import compute_metrics
 
     if engine is None:
+        kw = dict(engine_kwargs or {})
+        if not serving_defaults:
+            kw.setdefault("turbo_eps_reuse", 1)
+            kw.setdefault("hybrid_turbo_eps_reuse", 1)
+            kw.setdefault("diffusion_eval_bf16", False)
+            kw.setdefault("hybrid_rollout_bf16", False)
         cfg = EngineConfig(
             img_size=img_size,
             diffusion_steps=steps,
@@ -41,7 +53,7 @@ def evaluate(
             ckpt_dir=ckpt_dir,
             compute_dtype=jnp.bfloat16 if bf16 else None,
             warmup=False,
-            **(engine_kwargs or {}),
+            **kw,
         )
         engine = InferenceEngine(cfg)
     fn = engine.fns[model]
@@ -87,6 +99,10 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--tta", action="store_true")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--serving-defaults", action="store_true",
+                    help="measure the gated-non-exact serving stack "
+                         "(turbo refresh schedule + bf16 UNet evals) instead "
+                         "of the default reference-exact numerics")
     args = ap.parse_args()
 
     dataset = PairedXRayDataset(
@@ -104,6 +120,7 @@ def main():
         steps=args.steps,
         tta=args.tta,
         bf16=args.bf16,
+        serving_defaults=args.serving_defaults,
     )
     print(json.dumps(result))
 

@@ -48,11 +48,20 @@ def denoise_image(
     steps: int = 8,
     tta: bool = False,
     bf16: bool = False,
+    serving_defaults: bool = False,
 ):
-    """Returns (PIL.Image at original size, inference seconds)."""
+    """Returns (PIL.Image at original size, inference seconds).
+
+    Like ``midd_tpu.evaluate``, this is a reference-comparison tool: the
+    gated-non-exact engine defaults (turbo refresh schedule, bf16 UNet
+    evals) are pinned OFF unless ``serving_defaults=True``."""
     from midd_tpu.serve.codec import decode_to_tensor
     from midd_tpu.serve.engine import EngineConfig, InferenceEngine
 
+    kw = {}
+    if not serving_defaults:
+        kw = dict(turbo_eps_reuse=1, hybrid_turbo_eps_reuse=1,
+                  diffusion_eval_bf16=False, hybrid_rollout_bf16=False)
     cfg = EngineConfig(
         img_size=img_size,
         diffusion_steps=steps,
@@ -60,6 +69,7 @@ def denoise_image(
         ckpt_dir=ckpt_dir,
         compute_dtype=jnp.bfloat16 if bf16 else None,
         warmup=False,
+        **kw,
     )
     engine = InferenceEngine(cfg)
     fn = engine.fns[model]
@@ -119,6 +129,10 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--tta", action="store_true")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--serving-defaults", action="store_true",
+                    help="use the gated-non-exact serving stack (turbo "
+                         "refresh schedule + bf16 UNet evals) instead of "
+                         "the default reference-exact numerics")
     ap.add_argument("--compare", default=None,
                     help="also save a noisy/denoised/difference comparison figure")
     args = ap.parse_args()
@@ -131,6 +145,7 @@ def main():
         steps=args.steps,
         tta=args.tta,
         bf16=args.bf16,
+        serving_defaults=args.serving_defaults,
     )
     img.save(args.out)
     print(f"{args.model}: {dt:.3f}s -> {args.out}")

@@ -51,7 +51,7 @@ def _up2_conv(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([c_ev, c_od], axis=3).reshape(b, 2 * h, 2 * w, c)
 
 
-def _down2_pool(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+def _down2_pool(x: jnp.ndarray) -> jnp.ndarray:
     """Exact half-pixel bilinear 2x downsample: the factor-2 kernel weights
     are 0.5/0.5 per axis, i.e. 2x2 mean pooling. Expressed as split-dims +
     mean (layout-free dim splits, small-axis reduce) rather than
@@ -80,7 +80,7 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     if size[0] == 2 * h and size[1] == 2 * w:
         return _up2_conv(x)
     if 2 * size[0] == h and 2 * size[1] == w:
-        return _down2_pool(x, size)
+        return _down2_pool(x)
     return jax.image.resize(
         x, (b, size[0], size[1], c), method="linear", antialias=False
     ).astype(x.dtype)

@@ -602,12 +602,30 @@ class InferenceEngine:
 
             return fn
 
+        # Explicit refresh-index schedules are specific to the ACTUAL rollout
+        # length (stride arithmetic over the checkpoint's noise_steps, NOT
+        # the requested step count): out-of-range indices are silently
+        # dropped by the sampler, which is exactly the failure mode the
+        # adaptive tier guard exists to prevent — apply the same length
+        # check wherever "auto" resolves to an index schedule.
+        from midd_tpu.diffusion.schedule import timestep_sequence
+
+        def _sched_fits(setting, sched, steps) -> bool:
+            if not isinstance(setting, (tuple, list)):
+                return True
+            return max(setting) < len(timestep_sequence(sched.noise_steps, steps))
+
         # Resolve the standalone eps setting ("auto" -> the twice-gated
         # {0,2,6,7} schedule at the served 8-step count, exact otherwise;
         # index schedules are rollout-length-specific).
         dk = cfg.turbo_eps_reuse
         if dk == "auto":
-            dk = (0, 2, 6, 7) if cfg.diffusion_steps == 8 else 1
+            dk = (
+                (0, 2, 6, 7)
+                if cfg.diffusion_steps == 8
+                and _sched_fits((0, 2, 6, 7), schedule, 8)
+                else 1
+            )
         self.diffusion_eps_reuse = dk
         diffusion_fn = make_diffusion_fn(dk)
 
@@ -745,7 +763,9 @@ class InferenceEngine:
             )
             if fused_will_share:
                 hk = dk
-            elif cfg.hybrid_diffusion_steps == 8:
+            elif cfg.hybrid_diffusion_steps == 8 and _sched_fits(
+                (0, 2, 6, 7), hschedule, 8
+            ):
                 hk = (0, 2, 6, 7)
             else:
                 hk = 2
@@ -799,26 +819,23 @@ class InferenceEngine:
             # schedule doesn't fit the ACTUAL rollout length (stride
             # arithmetic, not the requested step count) fall back to the
             # legacy gated k=2 rather than silently dropping out-of-range
-            # refresh indices
-            from midd_tpu.diffusion.schedule import timestep_sequence
-
-            def tier_eps(setting, steps):
-                if isinstance(setting, (tuple, list)):
-                    n = len(timestep_sequence(schedule.noise_steps, steps))
-                    if max(setting) >= n:
-                        return 2
-                return setting
+            # refresh indices. Each tier validates against ITS OWN path's
+            # schedule: the hybrid rollout length derives from hschedule
+            # (the hybrid checkpoint's noise_steps), not the standalone's.
+            def tier_eps(setting, sched, steps):
+                return setting if _sched_fits(setting, sched, steps) else 2
 
             raw_turbo = {
                 "diffusion": (
                     make_diffusion_fn(
-                        tier_eps(cfg.adaptive_diffusion_eps, cfg.diffusion_steps)
+                        tier_eps(cfg.adaptive_diffusion_eps, schedule,
+                                 cfg.diffusion_steps)
                     ),
                     v_diff,
                 ),
                 "hybrid": (
                     make_hybrid_fn(
-                        tier_eps(cfg.adaptive_hybrid_eps,
+                        tier_eps(cfg.adaptive_hybrid_eps, hschedule,
                                  cfg.hybrid_diffusion_steps)
                     ),
                     v_hb,
@@ -1017,7 +1034,15 @@ class InferenceEngine:
                         cfg.adaptive_diffusion_eps if cfg.adaptive_turbo else None,
                         cfg.adaptive_hybrid_eps if cfg.adaptive_turbo else None,
                     ),
-                    dtype=str(cfg.compute_dtype),
+                    # the eval-precision flags change the compiled program
+                    # with identical eps settings — a pin keyed without them
+                    # would silently serve the wrong precision (pin_or_load
+                    # validates executability, not numerics)
+                    dtype=(
+                        str(cfg.compute_dtype),
+                        bool(cfg.diffusion_eval_bf16),
+                        bool(cfg.hybrid_rollout_bf16),
+                    ),
                     quant=str(cfg.quantize_int8),
                     flash=bool(cfg.use_flash_attention),
                     weights=weights_id,
@@ -1153,9 +1178,66 @@ class InferenceEngine:
         log.latency("request_all", time.time() - t_start, mode="per_path")
         return results
 
+    def serving_mode(self) -> Dict:
+        """What a request will actually get: the resolved quality levers
+        (turbo refresh schedules per path, precision flags, adaptive tier
+        state) and an ``exact`` bool that is True only when every gated
+        non-exact default is off — the reference-parity fp32 mode that
+        ``--exact`` pins. The reference logs per-model behavior per request
+        (run.py:94-206); this surfaces the equivalent through the API so an
+        operator can verify a deployment without reading its flags."""
+        cfg = self.cfg
+
+        def _eps(s):
+            return list(s) if isinstance(s, (tuple, list)) else s
+
+        # diffusion_eval_bf16 is a no-op when a whole-engine compute_dtype
+        # is set (the eval model IS the engine model then) — report the
+        # EFFECTIVE eval precisions, not the raw flags
+        dt = cfg.compute_dtype
+        diff_eval = (
+            str(jnp.dtype(dt).name) if dt is not None
+            else ("bfloat16" if cfg.diffusion_eval_bf16 else "float32")
+        )
+        hyb_eval = "bfloat16" if cfg.hybrid_rollout_bf16 else (
+            str(jnp.dtype(dt).name) if dt is not None else "float32"
+        )
+        exact = (
+            self.diffusion_eps_reuse == 1
+            and self.hybrid_eps_reuse == 1
+            and diff_eval == "float32"
+            and hyb_eval == "float32"
+            and dt is None
+            and not cfg.quantize_int8
+        )
+        mode = {
+            "exact": exact,
+            "img_size": cfg.img_size,
+            "steps": [cfg.diffusion_steps, cfg.hybrid_diffusion_steps],
+            "diffusion_eps": _eps(self.diffusion_eps_reuse),
+            "hybrid_eps": _eps(self.hybrid_eps_reuse),
+            "compute_dtype": str(jnp.dtype(dt).name) if dt is not None else "float32",
+            "diffusion_eval_dtype": diff_eval,
+            "hybrid_rollout_eval_dtype": hyb_eval,
+            "quantize_int8": str(cfg.quantize_int8) if cfg.quantize_int8 else False,
+            "fused_request": self.fused is not None,
+            "batching": self.batcher is not None,
+            "flash_attention": bool(cfg.use_flash_attention),
+        }
+        if cfg.adaptive_turbo:
+            mode["adaptive_turbo"] = {
+                "queue_depth": cfg.adaptive_queue_depth,
+                "diffusion_eps": _eps(cfg.adaptive_diffusion_eps),
+                "hybrid_eps": _eps(cfg.adaptive_hybrid_eps),
+            }
+        else:
+            mode["adaptive_turbo"] = False
+        return mode
+
     def health(self) -> Dict:
         return {
             "status": "healthy",
             "device": str(jax.devices()[0]),
             "models_loaded": dict(self.loaded),
+            "serving_mode": self.serving_mode(),
         }

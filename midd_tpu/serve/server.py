@@ -137,7 +137,11 @@ def make_server(
 
 def serve_forever(host="0.0.0.0", port=8000, engine_config=None):
     server = make_server(host, port, engine_config=engine_config)
+    # startup banner states the active quality mode so deployments are
+    # auditable from the logs as well as from GET /health
+    mode = server.RequestHandlerClass.engine.serving_mode()
     print(f"serving on http://{host}:{port}")
+    print(f"serving mode: {json.dumps(mode)}")
     server.serve_forever()
 
 

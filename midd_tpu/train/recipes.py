@@ -67,7 +67,11 @@ def train_nafnet(
     model_cfg: config.NAFNetConfig = config.SERVE_NAFNET,
     train_cfg: Optional[TrainConfig] = None,
     resume: Optional[str] = None,
+    loss_variant: str = "reference",
 ):
+    """``loss_variant``: "reference" (CombinedLoss, NafNet:349-386) or "l2"
+    (pure MSE — the PSNR-aligned lever; same option as train_hybrid so the
+    flagship comparison stays symmetric)."""
     from midd_tpu.models import EnhancedNAFNet
 
     cfg = train_cfg or TrainConfig(
@@ -78,7 +82,7 @@ def train_nafnet(
     sample = jnp.zeros((1, 64, 64, 1))
     params = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), sample)["params"]
     trainer = Trainer(
-        loss_fn=nafnet_loss_fn(model),
+        loss_fn=nafnet_loss_fn(model, loss_variant=loss_variant),
         eval_fn=lambda p, extra, clean, noisy: model.apply({"params": p}, noisy),
         cfg=cfg,
         init_params=params,
@@ -199,6 +203,7 @@ def train_expert(
     resume: Optional[str] = None,
     dead_grad_ssim: bool = False,
     perceptual_weight: float = 0.3,
+    loss_variant: str = "reference",
 ):
     from midd_tpu.models import ExpertDenoiser
 
@@ -210,7 +215,9 @@ def train_expert(
     sample = jnp.zeros((1, 64, 64, 1))
     variables = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), sample)
     trainer = Trainer(
-        loss_fn=expert_loss_fn(model, dead_grad_ssim=dead_grad_ssim, perceptual_weight=perceptual_weight),
+        loss_fn=expert_loss_fn(model, dead_grad_ssim=dead_grad_ssim,
+                               perceptual_weight=perceptual_weight,
+                               loss_variant=loss_variant),
         eval_fn=lambda p, extra, clean, noisy: model.apply(
             {"params": p, "batch_stats": extra["batch_stats"]}, noisy
         ),
@@ -425,6 +432,11 @@ def main():
     ap.add_argument("--resume", default=None)
     ap.add_argument("--nafnet-ckpt", default=None)
     ap.add_argument("--diffusion-ckpt", default=None)
+    ap.add_argument("--loss-variant", choices=["reference", "l2"],
+                    default="reference",
+                    help="nafnet/expert/hybrid objective: the reference loss "
+                         "suite, or the PSNR-aligned pure-MSE option "
+                         "(the round-3 ablation lever)")
     ap.add_argument("--preset", choices=["full", "tiny"], default="full",
                     help="tiny = smoke-test widths (verify the pipeline "
                          "before committing TPU-hours)")
@@ -486,7 +498,8 @@ def main():
     unet_kw = dict(model_channels=8, channel_mult=(1, 2), num_res_blocks=1,
                    attention_resolutions=(1,), time_emb_dim=16)
     if args.model == "nafnet":
-        train_nafnet(dataset, model_cfg=naf_cfg, train_cfg=cfg, resume=args.resume)
+        train_nafnet(dataset, model_cfg=naf_cfg, train_cfg=cfg,
+                     resume=args.resume, loss_variant=args.loss_variant)
     elif args.model == "diffusion":
         mc = config.DiffusionUNetConfig(**unet_kw) if tiny else config.SERVE_DIFFUSION
         train_diffusion(dataset, model_cfg=mc, train_cfg=cfg, resume=args.resume)
@@ -496,7 +509,8 @@ def main():
         train_cddpm(dataset, model_cfg=mc, train_cfg=cfg, resume=args.resume)
     elif args.model == "expert":
         mc = config.ExpertConfig(base_channels=8) if tiny else config.SERVE_EXPERT
-        train_expert(dataset, model_cfg=mc, train_cfg=cfg, resume=args.resume)
+        train_expert(dataset, model_cfg=mc, train_cfg=cfg, resume=args.resume,
+                     loss_variant=args.loss_variant)
     elif args.model == "hybrid":
         hc = config.HybridConfig(
             nafnet=naf_cfg,
@@ -513,6 +527,7 @@ def main():
             hybrid_cfg=hc,
             train_cfg=cfg,
             resume=args.resume,
+            loss_variant=args.loss_variant,
         )
     else:
         mc = config.TinyUNetConfig(base_ch=8, time_dim=16) if tiny else config.TINY_UNET

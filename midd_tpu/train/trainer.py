@@ -148,17 +148,33 @@ def finite_update(loss, grads, params, opt_state, tx):
 # ---------------------------------------------------------------------------
 
 
-def nafnet_loss_fn(model):
+def nafnet_loss_fn(model, loss_variant: str = "reference"):
+    """``loss_variant="l2"``: the PSNR-aligned pure-MSE objective — the same
+    lever the hybrid trainer won with (round-3 ablation: at ~45 dB the
+    reference CombinedLoss's L1-family terms emit sign-gradients ~80x the
+    MSE term's, drowning mean-seeking corrections). Offered here so the
+    flagship comparison is symmetric: the NAFNet bar gets the same loss
+    option as the hybrid (round-3 verdict weak #1). "reference" = the exact
+    CombinedLoss (NafNet/NafnetModel.py:349-386)."""
+
     def fn(params, batch, rng):
         clean, noisy = batch
         pred = model.apply({"params": params}, noisy)
-        loss, parts = losses.combined_loss_nafnet(pred, clean)
+        if loss_variant == "l2":
+            loss, parts = losses.mse(pred, clean), {}
+        else:
+            loss, parts = losses.combined_loss_nafnet(pred, clean)
         return loss, {"pred": pred, **parts}
 
     return fn
 
 
-def expert_loss_fn(model, dead_grad_ssim: bool = False, perceptual_weight: float = 0.3):
+def expert_loss_fn(model, dead_grad_ssim: bool = False, perceptual_weight: float = 0.3,
+                   loss_variant: str = "reference"):
+    """``loss_variant="l2"``: pure MSE, mirroring nafnet_loss_fn — the
+    reference HybridLoss is L1-led (DirectUNet:257-268) and carries the same
+    sign-gradient handicap at high PSNR."""
+
     def fn(params, batch, rng, batch_stats):
         clean, noisy = batch
         pred, mutated = model.apply(
@@ -168,10 +184,13 @@ def expert_loss_fn(model, dead_grad_ssim: bool = False, perceptual_weight: float
             mutable=["batch_stats"],
         )
         pred = jnp.clip(pred, 0.0, 1.0)  # DirectUNet:339
-        loss = losses.hybrid_loss_expert(
-            pred, clean, dead_grad_ssim=dead_grad_ssim,
-            perceptual_weight=perceptual_weight,
-        )
+        if loss_variant == "l2":
+            loss = losses.mse(pred, clean)
+        else:
+            loss = losses.hybrid_loss_expert(
+                pred, clean, dead_grad_ssim=dead_grad_ssim,
+                perceptual_weight=perceptual_weight,
+            )
         return loss, {"pred": pred, "batch_stats": mutated["batch_stats"]}
 
     return fn
