@@ -312,6 +312,75 @@ def train_all(
     )
 
 
+def train_wide_standalone(ckpt_dir: str, img_size: int = 256,
+                          n_train: int = 96, epochs_scale: float = 1.0):
+    """Train the WIDE (96-channel) standalone diffusion under the protocol
+    recipe (round-3 verdict item 5): the repo's own frontier says w96@8-step
+    dominates w48@50-step on both axes (wide_study.json), so the SHIPPED
+    standalone default is the wide checkpoint — w48 stays the
+    reference-parity preset. Lands in <ckpt_dir>/diffusion_w96; the scorer
+    adds a ``diffusion_w96`` row when it exists (the engine serves it
+    drop-in via checkpoint arch metadata)."""
+    from midd_tpu import config
+    from midd_tpu.train import recipes
+    from midd_tpu.train.trainer import TrainConfig
+
+    ds = make_train_dataset(n_train, img_size)
+    recipes.train_diffusion(
+        ds, config.WIDE_DIFFUSION,
+        train_cfg=TrainConfig(
+            epochs=max(2, int(30 * epochs_scale)), batch_size=2, lr=2e-4,
+            weight_decay=1e-4, ckpt_name="diffusion_w96", ckpt_dir=ckpt_dir,
+        ),
+    )
+
+
+def train_ddim50_faithful(ckpt_dir: str, img_size: int = 256,
+                          n_train: int = 96, epochs_scale: float = 1.0):
+    """Train a w48 diffusion whose best-checkpoint SELECTION is DDIM-50
+    semantics (round-3 verdict item 8): same objective, but per-epoch
+    validation rolls out the FULL 50 steps (the reference validates at 15,
+    DDIM/DDIMModel.py:415; serving uses 8) so the saved checkpoint is the
+    one that actually maximises 50-step quality — the bench of record's
+    semantics. Lands in <ckpt_dir>/diffusion_ddim50."""
+    from midd_tpu import config
+    from midd_tpu.train import recipes
+    from midd_tpu.train.trainer import TrainConfig
+
+    ds = make_train_dataset(n_train, img_size)
+    recipes.train_diffusion(
+        ds, config.SERVE_DIFFUSION,
+        train_cfg=TrainConfig(
+            epochs=max(2, int(30 * epochs_scale)), batch_size=2, lr=2e-4,
+            weight_decay=1e-4, ckpt_name="diffusion_ddim50",
+            ckpt_dir=ckpt_dir,
+        ),
+        val_inference_steps=50,
+    )
+
+
+def score_diffusion_variant(ckpt_dir: str, name: str, eval_set,
+                            steps: int, base_kw: dict):
+    """Score <ckpt_dir>/<name> through the real engine as the 'diffusion'
+    path (a view dir with a symlink; arch comes from checkpoint metadata)."""
+    import os
+    import tempfile
+
+    from midd_tpu.serve.engine import EngineConfig, InferenceEngine
+
+    src = os.path.abspath(os.path.join(ckpt_dir, name))
+    if not os.path.isdir(src):
+        return None
+    view = tempfile.mkdtemp(prefix=f"xb_{name}_")
+    os.symlink(src, os.path.join(view, "diffusion"))
+    kw = dict(base_kw)
+    kw.update(ckpt_dir=view, diffusion_steps=steps, warmup=False)
+    eng = InferenceEngine(EngineConfig(**kw))
+    out = score_fn(eng.fns["diffusion"], eval_set)
+    del eng
+    return out
+
+
 def turbo_gate(engine_cfg_kwargs: dict, eval_set,
                extra_schedules: Sequence = ()) -> Dict[str, Dict]:
     """Quality/speed frontier of the turbo paths vs GROUND TRUTH (the round-1
@@ -351,6 +420,14 @@ def main():
     ap.add_argument("--n-train", type=int, default=96)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--train-wide", action="store_true",
+                    help="train the w96 standalone diffusion under the "
+                         "protocol (the shipped standalone default; "
+                         "scored as the diffusion_w96 row)")
+    ap.add_argument("--train-ddim50", action="store_true",
+                    help="train the DDIM-50-faithful w48 diffusion "
+                         "(best-checkpoint selection at 50-step validation; "
+                         "scored at 50 steps as the diffusion_ddim50 row)")
     ap.add_argument("--turbo-gate", action="store_true")
     ap.add_argument("--turbo-idx", action="append", default=[],
                     metavar="I0,I1,...",
@@ -373,6 +450,12 @@ def main():
     if args.train:
         train_all(args.ckpt_dir, args.img_size, args.n_train,
                   args.epochs_scale, args.width_preset, args.hybrid_profile)
+    if args.train_wide:
+        train_wide_standalone(args.ckpt_dir, args.img_size, args.n_train,
+                              args.epochs_scale)
+    if args.train_ddim50:
+        train_ddim50_faithful(args.ckpt_dir, args.img_size, args.n_train,
+                              args.epochs_scale)
 
     eval_set = make_eval_set(args.n_eval, args.img_size)
     import jax.numpy as jnp
@@ -412,6 +495,27 @@ def main():
         kw.setdefault("hybrid_turbo_eps_reuse", 1)
         engine = InferenceEngine(EngineConfig(**kw))
         results = score_engine(engine, eval_set)
+        del engine
+        # the shipped wide standalone (round-3 verdict item 5): scored at
+        # the serving step count, drop-in via checkpoint arch metadata
+        w = score_diffusion_variant(
+            args.ckpt_dir, "diffusion_w96", eval_set, args.steps, kw
+        )
+        if w:
+            results["diffusion_w96"] = w
+        # the DDIM-50-faithful checkpoint (verdict item 8), scored at the
+        # bench-of-record's 50-step semantics — next to the regular w48
+        # checkpoint at the same 50 steps, so the inversion is visible
+        d50 = score_diffusion_variant(
+            args.ckpt_dir, "diffusion_ddim50", eval_set, 50, kw
+        )
+        if d50:
+            results["diffusion_ddim50@50"] = d50
+            base50 = score_diffusion_variant(
+                args.ckpt_dir, "diffusion", eval_set, 50, kw
+            )
+            if base50:
+                results["diffusion@50"] = base50
 
     payload = {"protocol": PROTOCOL_VERSION, "img_size": args.img_size,
                "n_eval": args.n_eval * len(NOISE_TYPES), "results": results}

@@ -24,14 +24,42 @@ from midd_tpu.ops.image import pad_to_multiple, pixel_shuffle, resize_bilinear
 
 
 class EnhancedNAFNet(nn.Module):
+    """``s2d_stage0``: run the C=width stage (the full-resolution encoder 0 /
+    last decoder stage) in a 2x2 space-to-depth layout so its tensors fill
+    the 128 TPU lanes instead of padding 32 -> 128 — numerically equivalent,
+    same param tree (ops/naf_s2d.py has the op-by-op construction and the
+    rationale). A LAYOUT choice like ``dtype``, not architecture: it never
+    enters checkpoint metadata."""
+
     cfg: NAFNetConfig = NAFNetConfig()
     dtype: Optional[Any] = None
+    s2d_stage0: bool = False
 
     @nn.compact
     def __call__(self, inp: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         dt = self.dtype
         h_in, w_in = inp.shape[1], inp.shape[2]
+
+        # s2d requires the plain concat-skip topology and a symmetric
+        # enc/dec so the last decoder stage consumes the s2d-resident
+        # encoder-0 skip (the serving preset; variant configs fall back)
+        use_s2d = (
+            self.s2d_stage0
+            and not cfg.multiscale_intro
+            and not cfg.additive_skips
+            and len(cfg.enc_blk_nums) == len(cfg.dec_blk_nums)
+            and len(cfg.enc_blk_nums) >= 1
+        )
+        if use_s2d:
+            from midd_tpu.ops.naf_s2d import (
+                Down2S2D,
+                NAFBlockS2D,
+                SkipConvS2D,
+                UpS2D,
+                ds2,
+                s2d,
+            )
 
         inp = pad_to_multiple(inp, cfg.padder_size)
         if dt is not None:
@@ -51,6 +79,14 @@ class EnhancedNAFNet(nn.Module):
         encs = []
         chan = cfg.width
         for s, num in enumerate(cfg.enc_blk_nums):
+            if s == 0 and use_s2d:
+                xs = s2d(x)
+                for b in range(num):
+                    xs = NAFBlockS2D(name=f"encoders_0_{b}", dtype=dt)(xs)
+                encs.append(xs)  # stored in s2d layout
+                x = Down2S2D(2 * chan, name="downs_0", dtype=dt)(xs)
+                chan *= 2
+                continue
             for b in range(num):
                 x = NAFBlock(name=f"encoders_{s}_{b}", dtype=dt)(x)
             encs.append(x)
@@ -61,6 +97,20 @@ class EnhancedNAFNet(nn.Module):
             x = NAFBlock(name=f"middle_blks_{b}", dtype=dt)(x)
 
         for s in range(len(cfg.dec_blk_nums)):
+            last = s == len(cfg.dec_blk_nums) - 1
+            if last and use_s2d:
+                # 1x1 + pixel_shuffle == one output-permuted 1x1 that lands
+                # directly in s2d layout; skip is s2d-resident already
+                # (spatial match is structural: padder_size >= 4)
+                xs = UpS2D(chan * 2, name=f"ups_{s}_0", dtype=dt)(x)
+                chan //= 2
+                xs = SkipConvS2D(chan, name=f"skip_convs_{s}", dtype=dt)(
+                    jnp.concatenate([xs, encs[0]], axis=-1)
+                )
+                for b in range(cfg.dec_blk_nums[s]):
+                    xs = NAFBlockS2D(name=f"decoders_{s}_{b}", dtype=dt)(xs)
+                x = ds2(xs)
+                continue
             x = tconv(chan * 2, 1, use_bias=False, name=f"ups_{s}_0", dtype=dt)(x)
             x = pixel_shuffle(x, 2)
             chan //= 2

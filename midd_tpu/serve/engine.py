@@ -159,6 +159,10 @@ class EngineConfig:
     # 512² with batching over the TPU tunnel)
     persistent_cache: bool = True
     cache_dir: Optional[str] = None
+    # space-to-depth stage-0 layout for BOTH NAFNet instances (standalone +
+    # hybrid backend): numerically equivalent, same checkpoints
+    # (ops/naf_s2d.py — the C=32 lane-padding fix). Measured opt-in.
+    nafnet_s2d: bool = False
     # opt-in int8 convs inside the diffusion UNets (standalone + hybrid
     # backend). NOT exact — gated on the xraybench-v1 ground-truth benchmark
     # (PARITY.md). Values:
@@ -631,7 +635,7 @@ class InferenceEngine:
 
         # NAFNet path (arch from checkpoint metadata when present, run.py:45-47)
         naf_cfg = self._nafnet_cfg_from_meta(self._peek_meta("nafnet"), cfg.nafnet_cfg)
-        naf = EnhancedNAFNet(naf_cfg, dtype=dt)
+        naf = EnhancedNAFNet(naf_cfg, dtype=dt, s2d_stage0=cfg.nafnet_s2d)
         v_naf = self._shard(self._variables_for("nafnet", naf, x0))
 
         def nafnet_fn(v, x):
@@ -687,7 +691,7 @@ class InferenceEngine:
             if qmode
             else hyb_unet_plain
         )
-        hyb_naf = EnhancedNAFNet(hyb_naf_cfg, dtype=dt)
+        hyb_naf = EnhancedNAFNet(hyb_naf_cfg, dtype=dt, s2d_stage0=cfg.nafnet_s2d)
         v_h_raw = self._variables_for_hybrid(hyb_naf, hyb_unet_plain, router, fusion, x0, t0)
         fell_back = "nafnet" not in v_h_raw
         if fell_back:
@@ -1045,6 +1049,7 @@ class InferenceEngine:
                     ),
                     quant=str(cfg.quantize_int8),
                     flash=bool(cfg.use_flash_attention),
+                    s2d=bool(cfg.nafnet_s2d),
                     weights=weights_id,
                 )
                 path = os.path.join(cfg.aot_dir, f"{name}_b{b}_{key}.jx")

@@ -68,10 +68,15 @@ def train_nafnet(
     train_cfg: Optional[TrainConfig] = None,
     resume: Optional[str] = None,
     loss_variant: str = "reference",
+    init_from: Optional[str] = None,
 ):
     """``loss_variant``: "reference" (CombinedLoss, NafNet:349-386) or "l2"
     (pure MSE — the PSNR-aligned lever; same option as train_hybrid so the
-    flagship comparison stays symmetric)."""
+    flagship comparison stays symmetric).
+
+    ``init_from``: checkpoint to initialise the PARAMETERS from (fresh
+    optimizer/epoch/schedule — a fine-tune, unlike ``resume`` which restores
+    the full training state)."""
     from midd_tpu.models import EnhancedNAFNet
 
     cfg = train_cfg or TrainConfig(
@@ -80,7 +85,10 @@ def train_nafnet(
     )
     model = EnhancedNAFNet(model_cfg)
     sample = jnp.zeros((1, 64, 64, 1))
-    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), sample)["params"]
+    if init_from:
+        params = _load_backend(init_from, model, sample)
+    else:
+        params = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), sample)["params"]
     trainer = Trainer(
         loss_fn=nafnet_loss_fn(model, loss_variant=loss_variant),
         eval_fn=lambda p, extra, clean, noisy: model.apply({"params": p}, noisy),
