@@ -244,9 +244,14 @@ def train_all(
     ``hybrid_profile``: "reference" reproduces the reference architecture +
     loss (run.py:60-74 semantics — the v1 protocol default); "tpu" trains
     the adopted flagship instead (``config.TPU_HYBRID``: residual expert-fed
-    fusion + ``loss_variant="l2"`` — the round-3 ablation winner, +0.90 dB
-    over plain NAFNet on xraybench-v1; see PARITY.md hybrid ablation table).
-    Only the hybrid cell differs; the three backends are identical."""
+    fusion + ``loss_variant="l2"`` — the round-3 ablation winner) AND gives
+    the shipped NAFNet the same PSNR-aligned lever: after the reference-loss
+    phase, a low-lr pure-MSE fine-tune (l2_bar_study.json, round 4: +0.32 dB
+    standalone, 45.47 -> 45.79, and the hybrid retrained on it gains
+    +0.38, 46.23 -> 46.61 — the level-playing-field adjudication the
+    round-3 verdict asked for). The from-scratch l2 cells are WORSE
+    (nafnet 42.67, expert 39.66): the composite reference loss is the
+    better from-scratch trainer; l2 wins only in the polish regime."""
     from midd_tpu import config
     from midd_tpu.train import recipes
     from midd_tpu.train.trainer import TrainConfig
@@ -287,6 +292,20 @@ def train_all(
         TrainConfig(epochs=e(50), batch_size=2, lr=2e-4, weight_decay=1e-4,
                     warmup_epochs=5, ckpt_name="nafnet", ckpt_dir=ckpt_dir),
     )
+    if hybrid_profile == "tpu":
+        # l2 polish phase (see docstring): params init from the
+        # reference-loss checkpoint, fresh low-lr cosine, pure MSE. Saved
+        # over the served name so the engine and the hybrid's frozen
+        # backend both pick it up.
+        recipes.train_nafnet(
+            ds, naf_cfg,
+            TrainConfig(epochs=e(20), batch_size=2, lr=5e-5,
+                        weight_decay=1e-4, warmup_epochs=0,
+                        eta_min_factor=0.02, ckpt_name="nafnet",
+                        ckpt_dir=ckpt_dir),
+            loss_variant="l2",
+            init_from=f"{ckpt_dir}/nafnet",
+        )
     recipes.train_diffusion(
         ds, diff_cfg,
         train_cfg=TrainConfig(epochs=e(30), batch_size=2, lr=2e-4,

@@ -37,6 +37,17 @@ tests/test_naf_s2d.py):
                     in-s2d dense alternative costs 5x the MXU work).
 
 Reference topology being preserved: NafNet/NafnetModel.py:181-309.
+
+DECISION RECORD (round 4, measured on TPU v5e-lite, naf_s2d_bench.json):
+the layout is a clear NAFNet-forward win — 512² b8 110.0 -> 82.5 ms
+(1.33x), b1 13.8 -> 11.0 ms (1.26x) — but the all-4 endpoint request moves
+only 281.3 -> 273.6 ms (+2.8%): NAFNet is ~15% of the request's device
+work, so the verdict's >=10%-endpoint adoption bar is not met.
+``EngineConfig.nafnet_s2d`` stays a measured OPT-IN (exactly the int8
+pattern): adopt it for NAFNet-heavy deployments (the standalone fast path,
+batch restoration pipelines), skip it when the request mix is
+rollout-dominated. Equivalence is asserted at block, model, and engine
+level in tests/test_naf_s2d.py, so flipping the flag is quality-free.
 """
 
 from __future__ import annotations
