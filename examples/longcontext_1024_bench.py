@@ -73,19 +73,25 @@ def main():
                 return jax.lax.scan(step, q, None, length=N_SCAN)[0]
 
             f = jax.jit(scan_attn)
-            t = time.time()
-            float(jnp.sum(f(q, k, v).astype(jnp.float32)))
-            log(f"blocks ({bq},{bk}): compile {time.time() - t:.1f}s")
-            best = float("inf")
-            for i in range(N_PASSES):
-                qi = (q + jnp.asarray((i + 1) * 1e-3, q.dtype)).astype(q.dtype)
+            try:
                 t = time.time()
-                float(jnp.sum(f(qi, k, v).astype(jnp.float32)))
-                best = min(best, (time.time() - t) / N_SCAN)
-            sweep[f"{bq}x{bk}"] = round(best * 1e3, 3)
-            log(f"blocks ({bq},{bk}): {best * 1e3:.3f} ms")
+                float(jnp.sum(f(q, k, v).astype(jnp.float32)))
+                log(f"blocks ({bq},{bk}): compile {time.time() - t:.1f}s")
+                best = float("inf")
+                for i in range(N_PASSES):
+                    qi = (q + jnp.asarray((i + 1) * 1e-3, q.dtype)).astype(q.dtype)
+                    t = time.time()
+                    float(jnp.sum(f(qi, k, v).astype(jnp.float32)))
+                    best = min(best, (time.time() - t) / N_SCAN)
+                sweep[f"{bq}x{bk}"] = round(best * 1e3, 3)
+                log(f"blocks ({bq},{bk}): {best * 1e3:.3f} ms")
+            except Exception as e:  # noqa: BLE001 — VMEM OOM cells are data
+                sweep[f"{bq}x{bk}"] = None
+                log(f"blocks ({bq},{bk}): FAILED "
+                    f"({'vmem OOM' if 'vmem' in str(e) else str(e)[:120]})")
+        ok = {k: v for k, v in sweep.items() if v is not None}
         results["flash_n16384_sweep_ms"] = sweep
-        results["flash_n16384_best"] = min(sweep, key=sweep.get)
+        results["flash_n16384_best"] = min(ok, key=ok.get)
 
     if not args.skip_engine:
         from midd_tpu.serve.engine import EngineConfig, InferenceEngine

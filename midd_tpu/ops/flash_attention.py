@@ -9,14 +9,24 @@ contractions on the MXU.
 Shapes: q, k, v are (B, N, H, D) with D=96 for the serving config (2 heads of
 the 192-channel resolution). D is zero-padded to the 128-lane boundary outside
 the kernel (zero features add nothing to scores; padded v columns are sliced
-off afterwards). K/V for one (batch, head) fit comfortably in VMEM at N=4096
-(4096 x 128 fp32 = 2 MB each), so the kernel streams q blocks over resident
-K/V — the right regime for these sizes.
+off afterwards).
+
+Memory shape (round-4 rewrite): K/V stream through VMEM as GRID-indexed
+blocks — grid (bh, n_q_blocks, n_k_blocks) with the online-softmax state
+(m, l, acc) carried in VMEM scratch across the innermost k dimension. The
+earlier resident-K/V form (full (1, N, Dp) VMEM windows, q-grid only) was
+fine at the 512²-image shape (n=4096: 2 MB/window) but EXCEEDS Mosaic's
+16 MB scoped-VMEM limit at the 1024² shape (n=16384: double-buffered K+V
+windows alone are 16 MB) — the driver saw "Ran out of memory in memory
+space vmem" from the remote compiler. The streaming form is O(block)
+resident at any N, which is what SURVEY §5's long-context row actually
+requires.
 
 Differentiable: a ``jax.custom_vjp`` supplies the standard flash backward —
 the forward additionally emits the per-row logsumexp, and two kernels
-recompute the probabilities blockwise to produce dq (q-block grid, K/V
-resident) and dk/dv (k-block grid, Q/dO resident). This lets the diffusion /
+recompute the probabilities blockwise to produce dq (q-block outer grid,
+K/V streamed) and dk/dv (k-block outer grid, Q/dO streamed), both with
+VMEM-scratch accumulators like the forward. This lets the diffusion /
 hybrid TRAINERS run the kernel, not just serving (training attention is the
 same hot block, DDIM/DDIMModel.py:135-166).
 
@@ -39,99 +49,119 @@ LANE = 128
 
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: float, block_q: int
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale: float
 ):  # noqa: D401
     # MXU operands stay in the INPUT dtype (bf16 from the bf16 serving model
     # runs the systolic array at full rate; fp32 decomposes into multiple
     # passes); softmax statistics and accumulation are always fp32.
+    # Grid: (bh, q_block, k_block); the online-softmax state lives in VMEM
+    # scratch, carried across the innermost k dimension.
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
     q = q_ref[0]  # (BQ, Dp), native dtype
     mmd = q.dtype
-    n = k_ref.shape[1]
     block_q, dp = q.shape
 
-    m = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l = jnp.zeros((block_q, 1), jnp.float32)
-    acc = jnp.zeros((block_q, dp), jnp.float32)
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, m_scr.dtype)
+        l_scr[...] = jnp.zeros(l_scr.shape, l_scr.dtype)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
 
-    def body(j, carry):
-        m, l, acc = carry
-        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
-        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
-        s = scale * jnp.dot(q, kb.T, preferred_element_type=jnp.float32)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(
-            p.astype(mmd), vb, preferred_element_type=jnp.float32
+    kb = k_ref[0]  # (BK, Dp)
+    vb = v_ref[0]
+    s = scale * jnp.dot(q, kb.T, preferred_element_type=jnp.float32)
+    lanes = m_scr.shape[-1]
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+        p.astype(mmd), vb, preferred_element_type=jnp.float32
+    )
+    m_scr[...] = jnp.broadcast_to(m_new, (block_q, lanes))
+    l_scr[...] = jnp.broadcast_to(l_new, (block_q, lanes))
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+        # lse lives as (bh, 1, n) with a FULL-n block revisited across
+        # q-block grid steps (TPU tiling: a (1, block_q) block over (bh, n)
+        # is illegal)
+        lse_ref[0, 0, pl.ds(i * block_q, block_q)] = (
+            m_scr[:, 0] + jnp.log(l_scr[:, 0])
         )
-        return m_new, l, acc
-
-    m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m, l, acc))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    # lse lives as (bh, 1, n) with a FULL-n block revisited across q-block
-    # grid steps (TPU tiling: a (1, block_q) block over (bh, n) is illegal)
-    i = pl.program_id(1)
-    lse_ref[0, 0, pl.ds(i * block_q, block_q)] = (m + jnp.log(l))[:, 0]
 
 
 def _flash_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, block_k: int, scale: float
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_scr,
+    *, scale: float,
 ):
-    """dq for one q block: stream K/V blocks, recompute p from the saved
-    logsumexp (no rescaling pass needed), ds = p * (dO v^T - delta)."""
+    """dq for one q block: K/V blocks stream via grid dim 2 (VMEM scratch
+    accumulator), p recomputed from the saved logsumexp (no rescaling pass
+    needed), ds = p * (dO v^T - delta)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
     q = q_ref[0]  # (BQ, Dp), native dtype (see fwd kernel note)
     do = do_ref[0]
     mmd = q.dtype
-    n = k_ref.shape[1]
     block_q, dp = q.shape
     i = pl.program_id(1)
     lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]  # (BQ, 1)
     delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
 
-    def body(j, acc):
-        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
-        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
-        s = scale * jnp.dot(q, kb.T, preferred_element_type=jnp.float32)
-        p = jnp.exp(s - lse)  # exact softmax probs for this block
-        dpij = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
-        ds = (p * (dpij - delta)).astype(mmd)
-        return acc + jnp.dot(ds, kb, preferred_element_type=jnp.float32)
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
 
-    acc = jax.lax.fori_loop(0, n // block_k, body, jnp.zeros((block_q, dp), jnp.float32))
-    dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
+    kb = k_ref[0]
+    vb = v_ref[0]
+    s = scale * jnp.dot(q, kb.T, preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)  # exact softmax probs for this block
+    dpij = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
+    ds = (p * (dpij - delta)).astype(mmd)
+    acc_scr[...] += jnp.dot(ds, kb, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        dq_ref[0] = (scale * acc_scr[...]).astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(
     q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dk_ref, dv_ref,
-    *, block_q: int, scale: float,
+    dk_scr, dv_scr, *, scale: float,
 ):
-    """dk, dv for one k block: stream Q/dO blocks; dv = p^T dO,
-    dk = scale * ds^T q."""
+    """dk, dv for one k block: Q/dO blocks stream via grid dim 2;
+    dv = p^T dO, dk = scale * ds^T q."""
+    i = pl.program_id(2)
+    nq = pl.num_programs(2)
     kb = k_ref[0]  # (BK, Dp), native dtype (see fwd kernel note)
     vb = v_ref[0]
     mmd = kb.dtype
-    n = q_ref.shape[1]
-    block_k, dp = kb.shape
+    qb = q_ref[0]
+    dob = do_ref[0]
+    block_q = qb.shape[0]
 
-    def body(i, carry):
-        dk, dv = carry
-        qb = q_ref[0, pl.ds(i * block_q, block_q), :]
-        dob = do_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
-        s = scale * jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)
-        p = jnp.exp(s - lse)  # (BQ, BK)
-        dv = dv + jnp.dot(p.T.astype(mmd), dob, preferred_element_type=jnp.float32)
-        dpij = jnp.dot(dob, vb.T, preferred_element_type=jnp.float32)
-        ds = (p * (dpij - delta)).astype(mmd)
-        dk = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32)
-        return dk, dv
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, dk_scr.dtype)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, dv_scr.dtype)
 
-    zero = jnp.zeros((block_k, dp), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, n // block_q, body, (zero, zero))
-    dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+    delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+    s = scale * jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)  # (BQ, BK)
+    dv_scr[...] += jnp.dot(p.T.astype(mmd), dob, preferred_element_type=jnp.float32)
+    dpij = jnp.dot(dob, vb.T, preferred_element_type=jnp.float32)
+    ds = (p * (dpij - delta)).astype(mmd)
+    dk_scr[...] += jnp.dot(ds.T, qb, preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq - 1)
+    def _finish():
+        dk_ref[0] = (scale * dk_scr[...]).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def _pad_lane(x: jnp.ndarray) -> jnp.ndarray:
@@ -145,20 +175,25 @@ def _pad_lane(x: jnp.ndarray) -> jnp.ndarray:
 def _fwd_call(q, k, v, block_q: int, block_k: int, scale: float, interpret: bool):
     bh, n, dp = q.shape
     return pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, block_k=block_k, scale=scale, block_q=block_q),
-        grid=(bh, n // block_q),
+        functools.partial(_flash_fwd_kernel, scale=scale),
+        grid=(bh, n // block_q, n // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, dp), q.dtype),
             jax.ShapeDtypeStruct((bh, 1, n), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, dp), jnp.float32),   # output accumulator
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -189,41 +224,46 @@ def _flash_padded_bwd(block_q, block_k, scale, interpret, res, do):
     ]  # (bh, 1, n): matches the lse layout the kernels expect
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
-        grid=(bh, n // block_q),
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        grid=(bh, n // block_q, n // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, block_q, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bh, n, dp), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dp), jnp.float32)],
         interpret=interpret,
     )(q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, scale=scale),
-        grid=(bh, n // block_k),
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(bh, n // block_k, n // block_q),
         in_specs=[
-            pl.BlockSpec((1, n, dp), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, dp), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dp), lambda b, jk, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dp), lambda b, jk, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b, jk, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b, jk, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, jk, i: (b, jk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, jk, i: (b, jk, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dp), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, jk, i: (b, jk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, jk, i: (b, jk, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, dp), k.dtype),
             jax.ShapeDtypeStruct((bh, n, dp), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dp), jnp.float32),
+            pltpu.VMEM((block_k, dp), jnp.float32),
         ],
         interpret=interpret,
     )(q, do, lse, delta, k, v)
@@ -263,6 +303,10 @@ def mha_flash(
     # from the standalone study: at n=1024 b>=8 XLA attention wins
     # STANDALONE (1.26 vs 1.40 ms) yet loses IN-GRAPH (attn_xla stub is
     # +0.6 ms worse) — trust end-to-end attribution over microbenches.
+    # Round-4 long-context sweep on the STREAMING kernels at n=16384
+    # (longcontext_1024.json): (1024,1024) again optimal (3.42 ms bh2 bf16;
+    # (512,512) 5.81, 2048-block cells exceed the 16 MB scoped-VMEM limit)
+    # — one default covers both operating points.
     """(B, N, H, D) attention via the Pallas kernel, with XLA fallback."""
     if not supported(q, block_q, block_k):
         from midd_tpu.ops.attention import mha_reference
