@@ -1228,6 +1228,16 @@ class InferenceEngine:
             "fused_request": self.fused is not None,
             "batching": self.batcher is not None,
             "flash_attention": bool(cfg.use_flash_attention),
+            # exact layout restructurings (numerically equivalent, identical
+            # param trees — informational, they never affect ``exact``):
+            # models/unet_diffusion.py fuse_updown/s2d_stage0 defaults and
+            # EngineConfig.nafnet_s2d (ops/naf_s2d.py, measured opt-in)
+            "layout": {
+                "nafnet_s2d": bool(cfg.nafnet_s2d),
+                "unet_fused_updown": True,
+                # the model's s2d guard auto-disables under int8 quant
+                "unet_s2d_stage0": not bool(cfg.quantize_int8),
+            },
         }
         if cfg.adaptive_turbo:
             mode["adaptive_turbo"] = {
