@@ -176,7 +176,14 @@ def main():
     # attention graph) over the measured wall time, vs published chip peak.
     from midd_tpu.utils.flops import count_flops, device_peak_tflops, mfu
 
-    count_model = UNetDiffusion(config.SERVE_DIFFUSION, dtype=dtype, use_flash=False)
+    # count on the PLAIN layout: the canonical model FLOPs. The adopted
+    # restructurings change the *executed* MACs (s2d kernels carry 75%
+    # structural zeros the MXU really multiplies — more hardware FLOPs;
+    # FusedUpDown removes the 4x-area convT — fewer), so counting the
+    # restructured jaxpr would make `mfu` incomparable across rounds and
+    # inflate it with zero-multiplies. Model MFU = canonical work / time.
+    count_model = UNetDiffusion(config.SERVE_DIFFUSION, dtype=dtype, use_flash=False,
+                                fuse_updown=False, s2d_stage0=False)
     xb = jnp.zeros((best_batch, size, size, 1), jnp.float32)
     rollout_flops = count_flops(
         lambda x: denoise(

@@ -205,6 +205,11 @@ class UNetDiffusion(nn.Module):
             and cfg.dropout == 0.0
             and 0 not in cfg.attention_resolutions
             and len(cfg.channel_mult) > 1
+            # the s2d conv win is a NARROW-channel effect: the probe
+            # (s2d_conv_probe.json) measured 3x3s 1.09-1.12x faster at C=48
+            # but 0.86x (slower) at C>=96, and the w96 rollout regressed
+            # 27.1 -> 23.8 img/s before this gate (rollout_timing_refresh).
+            and cfg.model_channels <= 64
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
         )

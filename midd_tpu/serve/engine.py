@@ -757,7 +757,8 @@ class InferenceEngine:
         # 3. any other step count -> the legacy gated k=2 (index schedules
         #    are length-specific).
         hk = cfg.hybrid_turbo_eps_reuse
-        if hk is None:
+        if hk is None or hk == "auto":  # "auto" accepted for API symmetry
+            # with turbo_eps_reuse (both mean: resolve by the rules below)
             # a refresh-index tuple (beyond k) is never auto-inherited
             fused_will_share = (
                 bool(cfg.fused_request)

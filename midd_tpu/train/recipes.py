@@ -212,7 +212,11 @@ def train_expert(
     dead_grad_ssim: bool = False,
     perceptual_weight: float = 0.3,
     loss_variant: str = "reference",
+    init_from: Optional[str] = None,
 ):
+    """``init_from``: checkpoint to initialise parameters AND BatchNorm
+    statistics from (fresh optimizer/schedule — a fine-tune), the same
+    params-only-polish lever train_nafnet grew for the l2 bar study."""
     from midd_tpu.models import ExpertDenoiser
 
     cfg = train_cfg or TrainConfig(
@@ -221,7 +225,17 @@ def train_expert(
     )
     model = ExpertDenoiser(model_cfg)
     sample = jnp.zeros((1, 64, 64, 1))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), sample)
+    if init_from:
+        variables = _load_backend_variables(init_from, model, sample)
+        if "batch_stats" not in variables:
+            variables = {
+                **variables,
+                "batch_stats": jax.jit(model.init)(
+                    jax.random.PRNGKey(cfg.seed), sample
+                )["batch_stats"],
+            }
+    else:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), sample)
     trainer = Trainer(
         loss_fn=expert_loss_fn(model, dead_grad_ssim=dead_grad_ssim,
                                perceptual_weight=perceptual_weight,
