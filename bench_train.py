@@ -76,9 +76,16 @@ def make_step(model_kind: str, img_size: int, batch: int, remat: bool,
     else:
         from midd_tpu.models import EnhancedNAFNet
 
-        model = EnhancedNAFNet(config.SERVE_NAFNET, dtype=dtype)
+        # "nafnet_s2d" = the round-5 train_nafnet(s2d_stage0=True) layout
+        # lever (numerically equivalent, same param tree); model FLOPs are
+        # counted on the PLAIN layout — the canonical work — so the two
+        # rows' MFU is directly comparable (s2d executes extra MACs on
+        # structural zeros, like the inference bench's accounting note)
+        model = EnhancedNAFNet(config.SERVE_NAFNET, dtype=dtype,
+                               s2d_stage0=model_kind == "nafnet_s2d")
+        count_model = EnhancedNAFNet(config.SERVE_NAFNET, dtype=dtype)
         loss_fn = nafnet_loss_fn(model)
-        count_loss_fn = loss_fn
+        count_loss_fn = nafnet_loss_fn(count_model)
         tx = make_optimizer(TrainConfig(lr=2e-4, weight_decay=1e-4))
 
         def init(key):
@@ -223,6 +230,7 @@ def main():
     grid = {
         "diffusion": [(256, 2), (256, 4), (256, 8), (256, 16), (512, 2), (512, 4)],
         "nafnet": [(256, 2), (256, 4), (256, 8), (256, 16), (512, 2), (512, 4)],
+        "nafnet_s2d": [(256, 2), (256, 8), (512, 2), (512, 4)],
     }
     if args.quick:
         grid = {"diffusion": [(256, 2)], "nafnet": [(256, 2)]}

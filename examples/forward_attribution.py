@@ -133,18 +133,38 @@ def main():
             x = jnp.repeat(jnp.repeat(x, self.stride, axis=1), self.stride, axis=2)
             return B.tconv(self.features, 1, name="conv1x1", dtype=self.dtype)(x)
 
+    # the round-4 restructurings live in a separate module namespace; an
+    # affine stub for the s2d GroupNorm keeps the gn attribution meaningful
+    # on the restructured (default) layout
+    from midd_tpu.ops import unet_s2d as S
+
+    class AffineGroupNormS2d(nn.Module):
+        segments: Any = None
+        epsilon: float = 1e-5
+
+        @nn.compact
+        def __call__(self, xs):
+            c = xs.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            return xs * scale.astype(xs.dtype) + bias.astype(xs.dtype)
+
     VARIANTS = {
         "base": {},
+        # the pre-round-4 layout (no stage-0 s2d, no FusedUpDown): what the
+        # exact restructurings are worth on the CURRENT program
+        "plain_layout": {"layout": False},
         "attn_xla": {"flash": False},
         "no_attn": {"attn": IdAttention},
         "no_resize": {"resize": crop_or_pad},
-        "gn_affine": {"gn": AffineGroupNorm},
+        "gn_affine": {"gn": AffineGroupNorm, "gn_s2d": AffineGroupNormS2d},
         "gn_lowp": {"gn": LowpGroupNorm},
         "no_upconv": {"upconv": NearestUpConv},
         "convs_only": {
             "attn": IdAttention,
             "resize": crop_or_pad,
             "gn": AffineGroupNorm,
+            "gn_s2d": AffineGroupNormS2d,
             "upconv": NearestUpConv,
         },
     }
@@ -152,23 +172,30 @@ def main():
     saved = dict(
         attn_u=U.AttentionBlock, gn_u=U.GroupNorm32, gn_b=B.GroupNorm32,
         resize_u=U.resize_bilinear, upconv_u=U.ConvTransposeTorch,
+        gn_s2d_u=U.GroupNorm32S2d, gn_s2d_s=S.GroupNorm32S2d,
     )
 
     def patched_model(spec):
         U.AttentionBlock = spec.get("attn", saved["attn_u"])
         U.GroupNorm32 = spec.get("gn", saved["gn_u"])
         B.GroupNorm32 = spec.get("gn", saved["gn_b"])
+        U.GroupNorm32S2d = spec.get("gn_s2d", saved["gn_s2d_u"])
+        S.GroupNorm32S2d = spec.get("gn_s2d", saved["gn_s2d_s"])
         U.resize_bilinear = spec.get("resize", saved["resize_u"])
         U.ConvTransposeTorch = spec.get("upconv", saved["upconv_u"])
+        layout = spec.get("layout", True)
         return U.UNetDiffusion(
             config.SERVE_DIFFUSION, dtype=dtype,
             use_flash=spec.get("flash", on_tpu),
+            s2d_stage0=layout, fuse_updown=layout,
         )
 
     def restore():
         U.AttentionBlock = saved["attn_u"]
         U.GroupNorm32 = saved["gn_u"]
         B.GroupNorm32 = saved["gn_b"]
+        U.GroupNorm32S2d = saved["gn_s2d_u"]
+        S.GroupNorm32S2d = saved["gn_s2d_s"]
         U.resize_bilinear = saved["resize_u"]
         U.ConvTransposeTorch = saved["upconv_u"]
 

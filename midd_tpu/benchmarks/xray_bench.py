@@ -129,21 +129,30 @@ def make_train_dataset(
     img_size: int = 256,
     noise_type: str = "mixed",
     seed: int = TRAIN_SEED,
+    noise_seed: Optional[int] = None,
 ):
     """Training split: fresh phantoms (disjoint seed stream from eval) with
-    on-the-fly noise. ``noise_type='mixed'`` rotates the three families."""
+    on-the-fly noise. ``noise_type='mixed'`` rotates the three families.
+
+    ``noise_seed``: seed for the (stateful) noise/augment draw stream only,
+    leaving the phantom GEOMETRY protocol-fixed — what the seed study varies.
+    Note the stream is consumed sequentially across __getitem__ calls, so a
+    model's draws depend on everything trained before it off the same
+    dataset object; this is the identified source of the cross-run diffusion
+    swing the seed study quantifies (round-4 verdict weak #2)."""
     from midd_tpu.train.data import NOISE_FNS, SyntheticPairedDataset
 
     clean = make_phantoms(n, img_size, seed)
+    nseed = seed if noise_seed is None else noise_seed
     if noise_type != "mixed":
-        return SyntheticPairedDataset(clean, noise_type=noise_type, seed=seed)
+        return SyntheticPairedDataset(clean, noise_type=noise_type, seed=nseed)
 
     class _Mixed(SyntheticPairedDataset):
         def __getitem__(self, idx):
             self.noise_fn = NOISE_FNS[NOISE_TYPES[idx % len(NOISE_TYPES)]]
             return super().__getitem__(idx)
 
-    return _Mixed(clean, noise_type=NOISE_TYPES[0], seed=seed)
+    return _Mixed(clean, noise_type=NOISE_TYPES[0], seed=nseed)
 
 
 # ---------------------------------------------------------------------------
@@ -475,9 +484,12 @@ def seed_study(ckpt_dir: str, models: Sequence[str], n_seeds: int,
         rows = []
         for i in range(1, n_seeds + 1):
             name = f"{model}_s{i}"
-            # disjoint from EVAL_SEED's stream; i=0 is the shipped run
+            # phantom geometry stays protocol-fixed (TRAIN_SEED); the seed
+            # varies the noise-draw stream + init/shuffle/loss rng — exactly
+            # what differs between fresh runs of the same protocol (i=0 is
+            # the shipped run's own score)
             ds = make_train_dataset(n_train, img_size,
-                                    seed=TRAIN_SEED + i * 1009)
+                                    noise_seed=TRAIN_SEED + i * 1009)
             if train and not os.path.isdir(os.path.join(sdir, name)):
                 if model == "diffusion":
                     recipes.train_diffusion(

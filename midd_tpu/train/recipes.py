@@ -69,6 +69,7 @@ def train_nafnet(
     resume: Optional[str] = None,
     loss_variant: str = "reference",
     init_from: Optional[str] = None,
+    s2d_stage0: Optional[bool] = None,
 ):
     """``loss_variant``: "reference" (CombinedLoss, NafNet:349-386) or "l2"
     (pure MSE — the PSNR-aligned lever; same option as train_hybrid so the
@@ -76,14 +77,24 @@ def train_nafnet(
 
     ``init_from``: checkpoint to initialise the PARAMETERS from (fresh
     optimizer/epoch/schedule — a fine-tune, unlike ``resume`` which restores
-    the full training state)."""
+    the full training state).
+
+    ``s2d_stage0``: run the C=width full-resolution stage in the 2x2
+    space-to-depth layout (ops/naf_s2d.py) during TRAINING too — numerically
+    equivalent fwd AND bwd (same param tree: checkpoints are unaffected;
+    tests/test_recipes.py pins the loss trajectory). The forward's C=32
+    lane-padding waste is amplified in the backward (round-4 bench_train:
+    ~2% model MFU), so the layout is a training lever, not just a serving
+    one. None = auto: on for TPU-class backends, off on CPU."""
     from midd_tpu.models import EnhancedNAFNet
 
     cfg = train_cfg or TrainConfig(
         epochs=50, batch_size=2, lr=2e-4, weight_decay=1e-4, warmup_epochs=5,
         ckpt_name="nafnet",
     )
-    model = EnhancedNAFNet(model_cfg)
+    if s2d_stage0 is None:
+        s2d_stage0 = jax.default_backend() in ("tpu", "axon")
+    model = EnhancedNAFNet(model_cfg, s2d_stage0=s2d_stage0)
     sample = jnp.zeros((1, 64, 64, 1))
     if init_from:
         params = _load_backend(init_from, model, sample)

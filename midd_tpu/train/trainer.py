@@ -312,6 +312,7 @@ class Trainer:
 
         self.mesh = None
         self.batch_sharding = None
+        self._replicated = None
         p_shard = None
         if cfg.mesh_shape is not None:
             from midd_tpu.parallel.mesh import (
@@ -343,6 +344,7 @@ class Trainer:
                 else batch_sharding(self.mesh)
             )
             self._replicated = replicated(self.mesh)
+        self._param_shardings = p_shard
 
         self.state = TrainerState(
             params=init_params,
@@ -437,19 +439,53 @@ class Trainer:
         self._eval_jit = jax.jit(eval_fn)
 
     def resume(self, ckpt_path: str) -> None:
-        """Full resume (hybrid3diffusionspeed.py:697-722)."""
+        """Full resume (hybrid3diffusionspeed.py:697-722).
+
+        Topology-portable: the checkpoint may have been saved from a
+        DIFFERENT mesh shape or process count — orbax restores arrays with
+        the shardings they were saved with, and a jitted step with explicit
+        ``in_shardings`` REJECTS mismatched committed layouts rather than
+        silently resharding. Every restored group is re-laid-out onto THIS
+        trainer's topology (params -> its param shardings, opt state -> the
+        layouts ``tx.init`` would produce here, extra -> replicated)."""
         from midd_tpu.utils.checkpoint import load_checkpoint
 
         tree, meta = load_checkpoint(ckpt_path)
-        self.state.params = tree["params"]
+
+        if self.mesh is not None:
+            lay_p = lambda t: jax.device_put(t, self._param_shardings)
+            lay_rep = lambda t: jax.device_put(t, self._replicated)
+        else:
+            dev_s = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            lay_p = lay_rep = lambda t: jax.device_put(
+                t, jax.tree_util.tree_map(lambda _: dev_s, t)
+            )
+        self.state.params = lay_p(tree["params"])
         if "opt_state" in tree:
             # orbax restores plain containers; re-impose the optax structure
-            ref = self.tx.init(self.state.params)
-            self.state.opt_state = jax.tree_util.tree_unflatten(
+            ref = jax.eval_shape(self.tx.init, self.state.params)
+            restored = jax.tree_util.tree_unflatten(
                 jax.tree_util.tree_structure(ref),
                 jax.tree_util.tree_leaves(tree["opt_state"]),
             )
-        self.state.extra = tree.get("extra", {})
+            if self.mesh is not None:
+                # the sharding rule is pure shape-based, so applying it to
+                # the opt tree gives mu/nu exactly their params' layouts
+                # (shape-identical) and replicates scalars/hyperparams
+                from midd_tpu.parallel.mesh import param_shardings
+
+                restored = jax.device_put(
+                    restored,
+                    param_shardings(
+                        restored, self.mesh, min_size=self.cfg.tp_min_size
+                    ),
+                )
+            else:
+                restored = lay_rep(restored)
+            self.state.opt_state = restored
+        self.state.extra = (
+            lay_rep(tree["extra"]) if tree.get("extra") else {}
+        )
         self.state.epoch = int(meta.get("epoch", -1)) + 1
         self.state.best_psnr = float(meta.get("best_psnr", 0.0))
         self.state.best_ssim = float(meta.get("best_ssim", 0.0))

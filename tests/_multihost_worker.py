@@ -14,6 +14,10 @@ def main() -> None:
     coordinator, pid, nprocs, outfile = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    # optional 5th arg: save the post-step sharded state here (both
+    # processes participate in the orbax write — the multi-process
+    # checkpoint path under test in test_multihost_mp.py)
+    ckpt_dir = sys.argv[5] if len(sys.argv) > 5 else None
 
     import os
 
@@ -77,6 +81,14 @@ def main() -> None:
         s_params, s_opt, (g_clean, g_noisy), jax.random.PRNGKey(0)
     )
     loss = float(loss)
+    if ckpt_dir:
+        # every process participates: orbax coordinates the distributed
+        # write through the jax runtime; each host contributes its shards
+        from midd_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            ckpt_dir, {"params": _p, "opt_state": _o}, {"loss": loss}
+        )
     if pid == 0:
         with open(outfile, "w") as f:
             f.write(repr(loss))

@@ -128,3 +128,37 @@ def test_ddpm_scheduler_roundtrip(rng):
     err_before = float(jnp.mean(jnp.abs(x_noisy - x0)))
     err_after = float(jnp.mean(jnp.abs(out - x0)))
     assert err_after < err_before * 0.2
+
+
+def test_nafnet_s2d_training_trajectory_matches_plain(rng, tmp_path):
+    """The space-to-depth stage-0 layout is now a TRAINING lever
+    (train_nafnet(s2d_stage0=...)): same param tree, numerically equivalent
+    forward AND backward — two 2-epoch runs differing only in layout must
+    follow the same loss trajectory and land on the same weights."""
+    clean = rng.random((4, 16, 16, 1)).astype(np.float32)
+
+    def run(s2d):
+        ds = data.SyntheticPairedDataset(
+            clean, noise_type="gaussian", is_train=False, seed=3
+        )
+        return train_nafnet(
+            ds, TINY_NAF,
+            TrainConfig(epochs=2, batch_size=2, lr=1e-3,
+                        ckpt_dir=str(tmp_path / f"s2d_{s2d}"),
+                        ckpt_name="naf", num_workers=0, prefetch=0),
+            s2d_stage0=s2d,
+        )
+
+    st_plain = run(False)
+    st_s2d = run(True)
+    np.testing.assert_allclose(
+        st_s2d.history["losses"], st_plain.history["losses"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        st_s2d.history["psnrs"], st_plain.history["psnrs"], rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_plain.params),
+        jax.tree_util.tree_leaves(st_s2d.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -216,3 +216,44 @@ def test_unet_s2d_odd_size_falls_back():
     np.testing.assert_array_equal(
         m_s.apply(v, x, cond, t), m_p.apply(v, x, cond, t)
     )
+
+
+def test_unet_layout_gradients_match_plain(rng):
+    """The diffusion trainer runs the restructured UNet (s2d stage-0 +
+    FusedUpDown are model defaults): its GRADIENTS must match the plain
+    layout on the same params (identical tree), or training would silently
+    optimise a different function than the checkpoints' semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from midd_tpu import config
+    from midd_tpu.models.unet_diffusion import UNetDiffusion
+
+    cfg = config.DiffusionUNetConfig(
+        model_channels=8, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(1,), time_emb_dim=16,
+    )
+    plain = UNetDiffusion(cfg, s2d_stage0=False, fuse_updown=False)
+    fast = UNetDiffusion(cfg, s2d_stage0=True, fuse_updown=True)
+    x = jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32))
+    c = jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32))
+    t = jnp.asarray([3, 7])
+    params = jax.jit(plain.init)(jax.random.PRNGKey(0), x, c, t)
+
+    def loss(model):
+        def fn(v):
+            eps = model.apply(v, x, c, t)
+            return jnp.mean((eps - c) ** 2)
+        return fn
+
+    l0, g0 = jax.value_and_grad(loss(plain))(params)
+    l1, g1 = jax.value_and_grad(loss(fast))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g0)[0],
+        jax.tree_util.tree_flatten_with_path(g1)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}",
+        )
