@@ -719,6 +719,14 @@ def main():
         )
         if w:
             results["diffusion_w96"] = w
+        # the hybrid's dedicated branch tree, scored STANDALONE for
+        # transparency (round-5 two-tree serving: the served expert row is
+        # the reference-loss tree; this is what the branch would score)
+        ftl2 = score_variant(
+            args.ckpt_dir, {"expert": "expert_ftl2"}, "expert", eval_set, kw
+        )
+        if ftl2:
+            results["expert_ftl2(branch)"] = ftl2
         # the DDIM-50-faithful checkpoint (verdict item 8), scored at the
         # bench-of-record's 50-step semantics — next to the regular w48
         # checkpoint at the same 50 steps, so the inversion is visible
