@@ -214,6 +214,11 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true",
                     help="single cell per model (CI smoke)")
+    ap.add_argument("--models", default=None,
+                    help="comma-separated subset of the grid's model kinds "
+                         "(e.g. nafnet,nafnet_s2d); remat/pipeline extras "
+                         "only run for cells that are present")
+    ap.add_argument("--json-out", default="bench_train.json")
     args = ap.parse_args()
 
     import jax
@@ -234,6 +239,9 @@ def main():
     }
     if args.quick:
         grid = {"diffusion": [(256, 2)], "nafnet": [(256, 2)]}
+    if args.models:
+        keep = {m.strip() for m in args.models.split(",") if m.strip()}
+        grid = {k: v for k, v in grid.items() if k in keep}
 
     rows = []
     for model_kind, cells in grid.items():
@@ -260,13 +268,15 @@ def main():
     remat = {}
     if not args.quick:
         for model_kind in ("diffusion", "nafnet"):
+            base = next((r for r in rows
+                         if r["model"] == model_kind and r["img"] == 512
+                         and r["batch"] == 2), None)
+            if base is None:
+                continue
             log(f"[{model_kind} 512² b2 remat]")
             dt_r, _, _ = time_step(model_kind, 512, 2, remat=True,
                                    inner=args.inner, reps=args.reps,
                                    use_flash=use_flash)
-            base = next(r for r in rows
-                        if r["model"] == model_kind and r["img"] == 512
-                        and r["batch"] == 2)
             remat[model_kind] = {
                 "ms_per_step": round(dt_r * 1e3, 1),
                 "vs_base": round(dt_r * 1e3 / base["ms_per_step"], 3),
@@ -299,7 +309,7 @@ def main():
         "remat_512_b2": remat,
         "pipeline": pipeline,
     }
-    with open("bench_train.json", "w") as f:
+    with open(args.json_out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 
